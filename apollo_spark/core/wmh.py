@@ -1,0 +1,188 @@
+"""Weighted MinHash (Ioffe consistent weighted sampling).
+
+Sample math matches the reference's golden CPU implementation
+(/root/reference/apollo/hasher.py:237-256) exactly, in float32:
+
+    t    = floor(ln(w_f) / r[i,f] + beta[i,f])
+    ln_y = (t - beta[i,f]) * r[i,f]
+    ln_a = ln_c[i,f] - ln_y - r[i,f]
+    k    = argmin_f ln_a          (ties -> lowest feature, like nanargmin)
+    sample i = (k, uint32(t[k]))
+
+**Parameter source — the one deliberate deviation, for 10^12-row scale.**
+The reference materializes dense float32 parameter matrices rs/ln_cs/betas of
+shape (K, vocab) on a GPU (hasher.py:66-87, doc/model/wmh.md:5-13); at a
+10M-feature vocabulary that is ~15 GB — unshippable to executors. We instead
+derive each feature's parameter column *on demand* from a counter-based RNG
+keyed by (seed, feature_hash): r and c are Gamma(2,1) (as Ioffe's scheme and
+libMHCUDA's generator prescribe), beta is Uniform(0,1), via splitmix64 +
+inverse-transform. Deterministic, reproducible from the seed alone (the
+``wmh_params`` resume artifact is just (seed, size) — stronger than the
+reference's "must reuse the params file" contract, doc/model/wmh.md:14-17),
+zero broadcast bytes, and identical in the NumPy oracle and the Spark kernel,
+so cluster-assignment parity is preserved at the same config.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_DRAWS = 5  # uniforms consumed per (feature, sample): r(2), c(2), beta(1)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = (x + _PHI).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _M1
+    z = (z ^ (z >> np.uint64(27))) * _M2
+    return z ^ (z >> np.uint64(31))
+
+
+def _uniform(counter: np.ndarray) -> np.ndarray:
+    """counter uint64 -> float64 uniform in (0, 1]."""
+    bits = splitmix64(counter)
+    return ((bits >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+
+
+def feature_hash(feature: str) -> int:
+    """Stable 64-bit feature id (blake2b-8); shared by Spark stage and oracle."""
+    return int.from_bytes(
+        hashlib.blake2b(feature.encode("utf-8"), digest_size=8).digest(),
+        "little")
+
+
+def feature_hash_series(features) -> np.ndarray:
+    """Vectorized-ish hashing of a pandas Series of feature strings."""
+    cache: dict[str, int] = {}
+    fh = feature_hash
+    return np.fromiter((cache.get(f) or cache.setdefault(f, fh(f))
+                        for f in features), dtype=np.uint64, count=len(features))
+
+
+def gen_params_for(feat_hashes: np.ndarray, sample_size: int,
+                   seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parameters for given features: rs, ln_cs, betas, each float32
+    (sample_size, n_features). Column j belongs to feat_hashes[j].
+    rs, cs ~ Gamma(2, 1), betas ~ Uniform(0, 1) — the Ioffe CWS scheme the
+    reference's generator implements (hasher.py:66-87 via libMHCUDA)."""
+    return _params_chunk(np.asarray(feat_hashes, dtype=np.uint64),
+                         0, sample_size, seed)
+
+
+def weighted_minhash(v: np.ndarray, sample_size: int, rs: np.ndarray,
+                     ln_cs: np.ndarray, betas: np.ndarray) -> np.ndarray:
+    """Single-document dense oracle (semantics of hasher.py:237-256).
+
+    ``v``: float32 weights over the vocabulary (columns of the param
+    matrices); zeros are treated as absent. Returns uint32 (sample_size, 2)
+    of (argmin column index, t value) pairs. Used only by tests and the
+    pure-NumPy reference replica; the production path is ``wmh_batch``.
+    """
+    if sample_size != rs.shape[0]:
+        raise ValueError(f"sample size mismatch, expecting {rs.shape[0]}")
+    if len(v) != rs.shape[1]:
+        raise ValueError(f"dimension mismatch, expecting {rs.shape[1]}")
+    v = np.asarray(v, dtype=np.float32).copy()
+    zeros = v == 0
+    if zeros.all():
+        raise ValueError("Input is all zeros")
+    v[zeros] = np.nan
+    vlog = np.log(v)
+    out = np.zeros((sample_size, 2), dtype=np.uint32)
+    for i in range(sample_size):
+        t = np.floor(vlog / rs[i] + betas[i])
+        ln_y = (t - betas[i]) * rs[i]
+        ln_a = ln_cs[i] - ln_y - rs[i]
+        k = int(np.nanargmin(ln_a))
+        out[i][0] = np.uint32(k)
+        out[i][1] = np.uint32(int(t[k]) & 0xFFFFFFFF)
+    return out
+
+
+def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
+              weights: np.ndarray, sample_size: int, seed: int,
+              chunk: int = 16) -> np.ndarray:
+    """Batched sparse kernel — the production path inside mapInPandas.
+
+    Documents are CSR-style segments: doc d owns rows
+    indptr[d]:indptr[d+1] of (feat_hashes, weights), rows sorted by
+    feat_hash ascending within each doc (fixes argmin tie-breaking to match
+    the dense oracle's lowest-index rule). weights must be > 0.
+
+    Returns uint32 (ndocs, sample_size, 2) where [:, :, 0] is the low 32
+    bits of the winning feature hash and [:, :, 1] the t value. Fully
+    vectorized: params are generated once per *unique* feature in the batch,
+    segmented argmin via two ufunc.reduceat passes; O(nnz * K) work,
+    O(chunk * nnz) peak memory.
+    """
+    nnz = len(feat_hashes)
+    ndocs = len(indptr) - 1
+    if nnz == 0:
+        return np.empty((0, sample_size, 2), dtype=np.uint32)
+    if (weights <= 0).any():
+        raise ValueError("weights must be positive")
+    vlog = np.log(weights.astype(np.float32))  # float32, matches oracle
+    uniq, inv = np.unique(feat_hashes.astype(np.uint64), return_inverse=True)
+    starts = indptr[:-1].astype(np.int64)
+    doc_of_row = np.repeat(np.arange(ndocs, dtype=np.int64),
+                           np.diff(indptr).astype(np.int64))
+    row_ids = np.arange(nnz, dtype=np.int64)
+    k_lo32 = (feat_hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)) \
+        .astype(np.uint32)
+    out = np.empty((ndocs, sample_size, 2), dtype=np.uint32)
+
+    for c0 in range(0, sample_size, chunk):
+        c1 = min(sample_size, c0 + chunk)
+        # params for this sample-chunk over unique features: (C, U) float32
+        rs_u, ln_cs_u, betas_u = _params_chunk(uniq, c0, c1, seed)
+        r = rs_u[:, inv]          # (C, nnz)
+        b = betas_u[:, inv]
+        lc = ln_cs_u[:, inv]
+        t = np.floor(vlog[None, :] / r + b)
+        ln_a = lc - (t - b) * r - r
+        mins = np.minimum.reduceat(ln_a, starts, axis=1)       # (C, ndocs)
+        is_min = ln_a == mins[:, doc_of_row]
+        cand = np.where(is_min, row_ids[None, :], nnz)
+        first = np.minimum.reduceat(cand, starts, axis=1)      # (C, ndocs)
+        out[:, c0:c1, 0] = k_lo32[first].T
+        tk = np.take_along_axis(t, first, axis=1)              # (C, ndocs)
+        out[:, c0:c1, 1] = (tk.astype(np.int64)
+                            & np.int64(0xFFFFFFFF)).astype(np.uint32).T
+    return out
+
+
+def _params_chunk(uniq_hashes: np.ndarray, c0: int, c1: int,
+                  seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Param rows [c0, c1) for the given unique feature hashes."""
+    h = uniq_hashes.astype(np.uint64)
+    base = splitmix64(np.asarray([np.uint64(seed)], dtype=np.uint64))[0]
+    i = np.arange(c0, c1, dtype=np.uint64)[:, None]
+    ctr = (h[None, :] ^ base) + (i * np.uint64(_DRAWS)) * _PHI
+
+    def u(j: int) -> np.ndarray:
+        off = np.uint64((j * int(_M2)) & 0xFFFFFFFFFFFFFFFF)
+        return _uniform(ctr + off)
+
+    rs = -(np.log(u(0)) + np.log(u(1)))
+    ln_cs = np.log(-(np.log(u(2)) + np.log(u(3))))
+    betas = u(4)
+    return (rs.astype(np.float32), ln_cs.astype(np.float32),
+            betas.astype(np.float32))
+
+
+def pack_signature(sig: np.ndarray) -> bytes:
+    """uint32 (K, 2) -> little-endian blob, same layout as the reference's
+    ``bytearray(wmh.data)`` (hasher.py:196)."""
+    return np.ascontiguousarray(sig, dtype="<u4").tobytes()
+
+
+def band_slices(sig_bytes: bytes, htnum: int, band_size: int) -> list[bytes]:
+    """Band i = raw bytes of samples [i*r, (i+1)*r) (hasher.py:95-99);
+    8 bytes per (k, t) sample pair; leftover K - b*r samples unused."""
+    w = 8 * band_size
+    return [sig_bytes[i * w:(i + 1) * w] for i in range(htnum)]

@@ -1,0 +1,103 @@
+"""Pure-NumPy reference replica ("mini-apollo") — the recall ground truth.
+
+Replays the reference's bags -> hash -> cc pipeline semantics
+(/root/reference/apollo: bags.py, hasher.py, graph.py) on a pandas corpus
+with no Spark involved: per-document dense Weighted MinHash via the ported
+single-doc oracle (hasher.py:237-256 semantics), datasketch-style (b, r)
+banding (hasher.py:90-99), and BFS-contract connected components
+(graph.py:63-88). The distributed pipeline must reproduce these cluster
+assignments with dup-pair recall >= 0.99 (BASELINE.json:metric) — our e2e
+test asserts exact pair-set equality, which is stronger.
+
+Only for test scale (dense per-doc loop); the distributed path is
+apollo_spark.stages.*.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from apollo_spark.config import PipelineConfig
+from apollo_spark.core import ccref, wmh
+from apollo_spark.functions import extractors
+
+
+def extract_bags(images: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """images -> (image_id, feature, tf) rows."""
+    rows = []
+    for rid, ph, cap in zip(images["image_id"], images["phash"],
+                            images["caption"]):
+        bag = extractors.doc_bag(
+            ph, cap, bits=cfg.phash_ngram_bits, stride=cfg.phash_ngram_stride,
+            k=cfg.caption_shingle_k)
+        for tok, tf in bag.items():
+            rows.append((rid, tok, tf))
+    return pd.DataFrame(rows, columns=["image_id", "feature", "tf"])
+
+
+def tfidf_bags(features: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """(image_id, feature, tf) -> (image_id, feat_hash, weight>0 float32).
+
+    df-pruning (min_docfreq, doc/cmd/bags.md:13), vocabulary cap by document
+    frequency (doc/cmd/bags.md:15), log-tf-log-idf weights (hasher.py:227),
+    per-extractor namespace multipliers (hasher.py:102-131).
+    """
+    ndocs = features["image_id"].nunique()
+    df = features.groupby("feature")["image_id"].nunique().rename("df")
+    f = features.merge(df, on="feature")
+    f = f[f["df"] >= cfg.min_docfreq]
+    if f["feature"].nunique() > cfg.vocabulary_size:
+        f["feat_hash"] = wmh.feature_hash_series(f["feature"])
+        vocab = (f[["feature", "df", "feat_hash"]].drop_duplicates("feature")
+                 .sort_values(["df", "feat_hash"], ascending=[False, True])
+                 .head(cfg.vocabulary_size))
+        f = f[f["feature"].isin(set(vocab["feature"]))]
+    w = extractors.log_tf_log_idf(f["df"].to_numpy(np.float64),
+                                  f["tf"].to_numpy(np.float64), ndocs)
+    mult = np.where(f["feature"].str.startswith(extractors.PHASH_NS),
+                    cfg.phash_weight, cfg.caption_weight)
+    out = pd.DataFrame({
+        "image_id": f["image_id"].to_numpy(),
+        "feat_hash": wmh.feature_hash_series(f["feature"]),
+        "weight": (w * mult).astype(np.float32),
+    })
+    return out[out["weight"] > 0].reset_index(drop=True)
+
+
+def signatures(bags: pd.DataFrame, cfg: PipelineConfig) -> dict[str, bytes]:
+    """Per-doc dense oracle WMH -> packed signature blobs."""
+    sigs: dict[str, bytes] = {}
+    for rid, grp in bags.groupby("image_id", sort=True):
+        grp = grp.sort_values("feat_hash")
+        hashes = grp["feat_hash"].to_numpy(np.uint64)
+        weights = grp["weight"].to_numpy(np.float32)
+        rs, ln_cs, betas = wmh.gen_params_for(hashes, cfg.size, cfg.seed)
+        sig = wmh.weighted_minhash(weights, cfg.size, rs, ln_cs, betas)
+        # dense oracle emits column indices; translate to the stable 32-bit
+        # feature ids the distributed kernel emits
+        sig[:, 0] = (hashes[sig[:, 0]] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        sigs[rid] = wmh.pack_signature(sig)
+    return sigs
+
+
+def band_buckets(sigs: dict[str, bytes],
+                 cfg: PipelineConfig) -> dict[tuple[int, bytes], list[str]]:
+    htnum, band_size = cfg.lsh_params()
+    buckets: dict[tuple[int, bytes], list[str]] = {}
+    for rid in sorted(sigs):
+        for hti, band in enumerate(wmh.band_slices(sigs[rid], htnum,
+                                                   band_size)):
+            buckets.setdefault((hti, band), []).append(rid)
+    return buckets
+
+
+def cluster(images: pd.DataFrame, cfg: PipelineConfig | None = None
+            ) -> tuple[dict[int, set], set[tuple]]:
+    """images corpus -> (components, dup pair set)."""
+    cfg = cfg or PipelineConfig()
+    bags = tfidf_bags(extract_bags(images, cfg), cfg)
+    sigs = signatures(bags, cfg)
+    buckets = band_buckets(sigs, cfg)
+    comps = ccref.connected_components(buckets.values())
+    return comps, ccref.dup_pairs(comps)
