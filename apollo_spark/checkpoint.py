@@ -1,0 +1,101 @@
+"""Per-stage checkpointing with resume manifest and per-partition metrics.
+
+north_rule: "resumable from checkpoint with per-partition lineage + metrics".
+Each pipeline stage writes its output table once, atomically (parquet
+directory + _SUCCESS), records per-partition row counts and wall time into a
+``metrics`` table, and registers itself in a JSON manifest keyed by a config
+fingerprint. A re-run with the same config skips completed stages and reads
+the checkpoint — the DataFrame-native analogue of the reference's per-stage
+Cassandra tables / model files (SURVEY.md §2.9: bags.py:23, hasher.py:186-201,
+deferred WMH param reuse hasher.py:159-166).
+
+Backed by parquet directories here; the write/read surface is a thin
+``writeTo/load`` pair so an Iceberg catalog (``df.writeTo(table).append()``)
+drops in on a real cluster without touching stage code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointCatalog:
+    def __init__(self, spark: SparkSession, root: str, config) -> None:
+        self.spark = spark
+        self.root = root
+        self.config_fp = self._fingerprint(config)
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+
+    @staticmethod
+    def _fingerprint(config) -> str:
+        import hashlib
+        blob = json.dumps(asdict(config), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"config_fp": self.config_fp, "stages": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def is_complete(self, stage: str) -> bool:
+        m = self._manifest()
+        if m.get("config_fp") != self.config_fp:
+            return False  # config changed -> full rebuild
+        info = m["stages"].get(stage)
+        return bool(info) and os.path.exists(
+            os.path.join(self.path(stage), "_SUCCESS"))
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    # -- table io ----------------------------------------------------------
+    def write(self, stage: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> DataFrame:
+        """Write a stage table + metrics, mark complete, return re-read df."""
+        t0 = time.time()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(stage))
+        out = self.load(stage)
+        self._record_metrics(stage, out, time.time() - t0)
+        m = self._manifest()
+        if m.get("config_fp") != self.config_fp:
+            m = {"config_fp": self.config_fp, "stages": {}}
+        m["stages"][stage] = {"ts": time.time(), "path": self.path(stage)}
+        self._save_manifest(m)
+        return out
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    # -- lineage + metrics ---------------------------------------------------
+    def _record_metrics(self, stage: str, df: DataFrame,
+                        wall_s: float) -> None:
+        """Per-partition lineage: (stage, partition_id, rows) + stage wall
+        time, appended to <root>/metrics (FIXTURES.md §2 metrics schema)."""
+        per_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .withColumn("stage", F.lit(stage))
+                    .withColumn("wall_ms", F.lit(int(wall_s * 1000)))
+                    .withColumn("ts", F.current_timestamp())
+                    .select("stage", "partition_id", "rows", "wall_ms", "ts"))
+        per_part.write.mode("append").parquet(os.path.join(self.root, "metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -1,0 +1,122 @@
+"""End-to-end pipeline orchestration: bags -> hash -> bands (+ candidate
+passes) -> cc -> clusters, each stage checkpointed and resumable.
+
+The reference runs this as four separate CLI commands gluing Cassandra
+tables and model files (apollo bags/hash/cc/cmd, __main__.py:210-227); here
+it is one driver program over a CheckpointCatalog. Launch on a cluster:
+
+    spark-submit --py-files apollo_spark.zip -m apollo_spark.pipeline \
+        --images <table> --out <dir>
+
+or locally: ``python -m apollo_spark.pipeline --rows 5000 --out /tmp/ap``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apollo_spark.checkpoint import CheckpointCatalog
+from apollo_spark.config import DEFAULT, PipelineConfig
+from apollo_spark.stages import bags as bags_stage
+from apollo_spark.stages import candidates, cc as cc_stage, evalcc, hashst
+
+
+def run_pipeline(spark: SparkSession, images: DataFrame,
+                 cfg: PipelineConfig, out_dir: str,
+                 extensions: bool = True,
+                 evaluate: bool = False) -> dict:
+    """Returns {stage_name: DataFrame} of all checkpointed outputs."""
+    cat = CheckpointCatalog(spark, out_dir, cfg)
+    out: dict[str, DataFrame] = {}
+    timings: dict[str, float] = {}
+
+    def stage(name: str, build):
+        t0 = time.time()
+        if cat.is_complete(name):
+            out[name] = cat.load(name)
+        else:
+            out[name] = cat.write(name, build())
+        timings[name] = time.time() - t0
+        return out[name]
+
+    ndocs = images.count()
+    stage("bags", lambda: bags_stage.tfidf_bags(
+        bags_stage.extract_features(images, cfg), ndocs, cfg))
+    stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
+    stage("bands", lambda: hashst.bands(out["signatures"], cfg))
+
+    cc_input = out["bands"]
+    if extensions:
+        stage("simhash_pairs", lambda: candidates.simhash_pairs(images, cfg))
+        stage("substring_membership",
+              lambda: candidates.substring_membership(images, cfg))
+        cc_input = (cc_input
+                    .unionByName(candidates.pairs_as_membership(
+                        out["simhash_pairs"]))
+                    .unionByName(out["substring_membership"]))
+
+    stage("cc", lambda: cc_stage.connected_components(
+        cc_input, cfg, all_ids=images))
+    stage("clusters", lambda: cc_stage.clusters(out["cc"]))
+
+    if evaluate:
+        stage("cluster_eval", lambda: evalcc.evaluate(
+            out["clusters"], out["bags"], cfg.threshold))
+
+    out["_timings"] = timings
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--images", help="parquet path of the images table")
+    ap.add_argument("--rows", type=int, default=5000,
+                    help="synthesize this many rows if --images not given")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--threshold", type=float, default=DEFAULT.threshold)
+    ap.add_argument("--size", type=int, default=DEFAULT.size)
+    ap.add_argument("--seed", type=int, default=DEFAULT.seed)
+    ap.add_argument("--no-extensions", action="store_true")
+    ap.add_argument("--evaluate", action="store_true")
+    args = ap.parse_args(argv)
+
+    from apollo_spark.session import get_spark
+    spark = get_spark("apollo-pipeline", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = PipelineConfig(seed=args.seed, size=args.size,
+                         threshold=args.threshold)
+    if args.images:
+        images = spark.read.parquet(args.images)
+        if "gt_cluster" in images.columns:
+            images = images.drop("gt_cluster")
+    else:
+        from apollo_spark import synth
+        images = spark.read.parquet(
+            synth.cached_corpus_path(args.rows, args.seed)) \
+            .drop("gt_cluster")
+
+    t0 = time.time()
+    out = run_pipeline(spark, images, cfg, args.out,
+                       extensions=not args.no_extensions,
+                       evaluate=args.evaluate)
+    wall = time.time() - t0
+    n = images.count()
+    summary = {
+        "rows": n, "wall_sec": round(wall, 2),
+        "images_per_sec": round(n / wall, 1),
+        "clusters": out["clusters"].select("cluster_id").distinct().count(),
+        "clustered_docs": out["clusters"].count(),
+        "timings": {k: round(v, 2) for k, v in out["_timings"].items()},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""bags stage: images -> TF-IDF-weighted sparse bags (distributed).
+
+Spark-first equivalent of the reference's `apollo bags` command
+(bags.py:52-57 + sourced-ml extractors + docfreq model): one mapInPandas
+extraction pass (tokens are hashed to 64-bit ids *inside* the UDF so feature
+strings never enter a shuffle), one groupBy for document frequencies
+(Catalyst partial+final hash agg, SURVEY.md A1), a hash-key equi-join to
+attach df, and pure-column TF-IDF math (hasher.py:16,227 semantics) with
+per-extractor namespace multipliers (hasher.py:102-131 analogue).
+
+Plan shape at 10^12 rows: scan -> UDF -> exchange(feat_hash) for the df agg
+-> exchange-free join if bags are re-used from the same shuffle, else one
+more exchange; weights never materialize strings. The df table (vocabulary)
+is orders of magnitude smaller than the bags and broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apollo_spark.config import PipelineConfig
+from apollo_spark.core import wmh
+from apollo_spark.functions import extractors
+
+FEATURES_SCHEMA = "image_id string, feat_hash long, tf int, ns int"
+NS_PHASH, NS_CAPTION = 0, 1
+
+
+def extract_features(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(image_id, phash, caption) -> exploded (image_id, feat_hash, tf, ns).
+
+    Only the three needed columns are read (column pruning reaches the
+    parquet scan; the multi-MB ``bytes`` column is never touched).
+    """
+    bits, stride, k = (cfg.phash_ngram_bits, cfg.phash_ngram_stride,
+                       cfg.caption_shingle_k)
+
+    def gen(iterator):
+        fh_cache: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = fh_cache.get(tok)
+            if v is None:
+                v = fh_cache.setdefault(
+                    tok, int(np.uint64(wmh.feature_hash(tok)).astype(np.int64)))
+            return v
+
+        for pdf in iterator:
+            ids, fhs, tfs, nss = [], [], [], []
+            for rid, ph, cap in zip(pdf["image_id"], pdf["phash"],
+                                    pdf["caption"]):
+                for tok in extractors.phash_ngrams(int(ph), bits, stride):
+                    ids.append(rid); fhs.append(h(tok))
+                    tfs.append(1); nss.append(NS_PHASH)
+                for tok, tf in extractors.caption_shingles(cap, k).items():
+                    ids.append(rid); fhs.append(h(tok))
+                    tfs.append(int(tf)); nss.append(NS_CAPTION)
+            yield pd.DataFrame({"image_id": ids, "feat_hash": fhs,
+                                "tf": tfs, "ns": nss})
+
+    return (images.select("image_id", "phash", "caption")
+            .mapInPandas(gen, schema=FEATURES_SCHEMA))
+
+
+def docfreq(features: DataFrame) -> DataFrame:
+    """Document frequency per feature (A1). One row per (doc, feature) is
+    guaranteed by extraction, so count(*) == countDistinct(image_id) but
+    needs no distinct shuffle."""
+    return features.groupBy("feat_hash").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_bags(features: DataFrame, ndocs: int,
+               cfg: PipelineConfig) -> DataFrame:
+    """Attach df, prune vocabulary, weight: -> (image_id, feat_hash, weight).
+
+    min-docfreq prune = P4, vocabulary cap = P6, log-tf-log-idf = the
+    reference's weighting (hasher.py:227); weight <= 0 rows (features in
+    every doc) are dropped, mirroring the dense path where zero weights are
+    excluded from argmin (hasher.py:244-247).
+    """
+    df_tab = docfreq(features).filter(F.col("df") >= cfg.min_docfreq)
+    if cfg.vocabulary_size < 2 ** 62:
+        n_vocab = df_tab.count()
+        if n_vocab > cfg.vocabulary_size:
+            df_tab = (df_tab.orderBy(F.desc("df"), F.asc("feat_hash"))
+                      .limit(cfg.vocabulary_size))
+    mult = (F.when(F.col("ns") == NS_PHASH, F.lit(float(cfg.phash_weight)))
+            .otherwise(F.lit(float(cfg.caption_weight))))
+    weight = (F.log1p(F.col("tf").cast("double"))
+              * F.log(F.lit(float(ndocs)) / F.col("df").cast("double"))
+              * mult).cast("float").alias("weight")
+    return (features.join(df_tab, "feat_hash")
+            .select("image_id", "feat_hash", weight)
+            .filter(F.col("weight") > 0))
+
+
+def run(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    ndocs = images.count()
+    return tfidf_bags(extract_features(images, cfg), ndocs, cfg)

@@ -1,0 +1,207 @@
+"""Distributed-stage tests: each stage against its NumPy-oracle counterpart,
+plus the end-to-end recall gate (BASELINE.json: dup-pair recall >= 0.99 —
+we assert exact pair-set equality, which is stronger)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apollo_spark import oracle
+from apollo_spark.core import wmh
+from apollo_spark.stages import bags as bags_st
+from apollo_spark.stages import candidates, cc as cc_st, evalcc, hashst
+from apollo_spark.stages import query as query_st, validate
+
+
+@pytest.fixture(scope="module")
+def bags(images, cfg):
+    return bags_st.run(images, cfg).cache()
+
+
+@pytest.fixture(scope="module")
+def sigs(bags, cfg):
+    return hashst.signatures(bags, cfg).cache()
+
+
+@pytest.fixture(scope="module")
+def bands(sigs, cfg):
+    return hashst.bands(sigs, cfg).cache()
+
+
+@pytest.fixture(scope="module")
+def cc(bands, images, cfg):
+    return cc_st.connected_components(bands, cfg, all_ids=images).cache()
+
+
+class TestBagsStage:
+    def test_matches_oracle_bags(self, bags, corpus_pdf, cfg):
+        got = bags.toPandas()
+        exp = oracle.tfidf_bags(oracle.extract_bags(corpus_pdf, cfg), cfg)
+        key = lambda df, fh_signed: set(
+            zip(df["image_id"],
+                df[fh_signed].astype(np.int64) if fh_signed == "feat_hash"
+                else df[fh_signed]))
+        got_set = set(zip(got["image_id"], got["feat_hash"].astype(np.int64)))
+        exp_set = set(zip(exp["image_id"],
+                          exp["feat_hash"].to_numpy(np.uint64)
+                          .view(np.int64)))
+        assert got_set == exp_set
+        # weights match to float32 precision
+        gm = {(r.image_id, r.feat_hash): r.weight
+              for r in bags.collect()}
+        for _, row in exp.iterrows():
+            k = (row["image_id"], int(np.uint64(row["feat_hash"])
+                                      .astype(np.int64)))
+            assert np.isclose(gm[k], row["weight"], rtol=1e-6), k
+
+    def test_all_weights_positive(self, bags):
+        assert bags.filter("weight <= 0").count() == 0
+
+
+class TestHashStage:
+    def test_signature_shape(self, sigs, cfg):
+        rows = sigs.limit(5).collect()
+        assert all(len(r["sig"]) == cfg.size * 8 for r in rows)
+
+    def test_signatures_match_oracle(self, sigs, corpus_pdf, cfg):
+        exp = oracle.signatures(
+            oracle.tfidf_bags(oracle.extract_bags(corpus_pdf, cfg), cfg), cfg)
+        got = {r["image_id"]: bytes(r["sig"]) for r in sigs.collect()}
+        assert set(got) == set(exp)
+        mismatches = [k for k in exp if got[k] != exp[k]]
+        assert not mismatches, f"{len(mismatches)} signature mismatches"
+
+    def test_every_doc_in_htnum_bands(self, bands, sigs, cfg):
+        """Reference invariant: min = max = htnum bands per element
+        (graph.py:135-138)."""
+        htnum, _ = cfg.lsh_params()
+        per_doc = bands.groupBy("image_id").count().select("count").distinct()
+        counts = [r["count"] for r in per_doc.collect()]
+        assert counts == [htnum]
+        assert bands.count() == sigs.count() * htnum
+
+
+class TestCCStage:
+    def test_exact_pair_parity_with_oracle(self, cc, corpus_pdf, cfg):
+        """The e2e gate: Spark cluster assignments == reference-replica
+        assignments (recall 1.0 >= 0.99)."""
+        got = {(r["a"], r["b"]) for r in cc_st.dup_pairs(cc).collect()}
+        _, exp = oracle.cluster(corpus_pdf, cfg)
+        missing = exp - got
+        extra = got - exp
+        assert not missing and not extra, (
+            f"missing={len(missing)} extra={len(extra)}")
+
+    def test_element_conservation(self, cc, images):
+        """Every doc appears exactly once (reference CC invariant)."""
+        assert cc.count() == images.count()
+        assert cc.select("image_id").distinct().count() == images.count()
+
+    def test_clusters_table(self, cc):
+        cl = cc_st.clusters(cc)
+        sizes = cl.groupBy("cluster_id").count()
+        assert sizes.filter("count < 2").count() == 0
+
+
+class TestCandidates:
+    def test_simhash_pairs_verified(self, images, cfg):
+        pairs = candidates.simhash_pairs(images, cfg)
+        joined = (pairs
+                  .join(images.select(F.col("image_id").alias("a"),
+                                      F.col("phash").alias("pa")), "a")
+                  .join(images.select(F.col("image_id").alias("b"),
+                                      F.col("phash").alias("pb")), "b"))
+        bad = joined.filter(
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            > cfg.simhash_max_hamming).count()
+        assert bad == 0
+        assert pairs.count() > 0  # planted phash near-dups exist
+
+    def test_substring_membership_groups_shared_captions(self, images, cfg):
+        memb = candidates.substring_membership(images, cfg)
+        assert memb.count() > 0
+        # every bucket has >= 2 members and <= cap
+        sizes = memb.groupBy("band").count()
+        assert sizes.filter(
+            f"count < 2 or count > {cfg.bucket_pair_cap}").count() == 0
+
+    def test_pairs_as_membership_roundtrip(self, spark, cfg):
+        pairs = spark.createDataFrame([("x", "y"), ("y", "z")], ["a", "b"])
+        memb = candidates.pairs_as_membership(pairs)
+        assert memb.count() == 4
+        comps = cc_st.connected_components(memb, cfg)
+        assert comps.select("cc_id").distinct().count() == 1
+
+
+class TestQuery:
+    def test_probe_and_rerank_finds_planted_duplicate(
+            self, bands, bags, corpus_pdf, cfg):
+        # pick a planted cluster of size >= 2
+        gt = corpus_pdf.groupby("gt_cluster")["image_id"].agg(list)
+        members = next(m for m in gt if len(m) >= 2)
+        qid, other = members[0], members[1]
+        res = query_st.query(bands, bags, qid).collect()
+        ids = [r["image_id"] for r in res]
+        assert qid not in ids  # self-exclusion (P7)
+        if other in ids:  # LSH may drop sub-threshold planted pairs
+            sims = {r["image_id"]: r["sim"] for r in res}
+            assert 0.0 < sims[other] <= 1.0
+
+    def test_rerank_sim_range(self, bands, bags, images):
+        qid = images.first()["image_id"]
+        res = query_st.query(bands, bags, qid)
+        assert res.filter("sim < 0 or sim > 1").count() == 0
+
+
+class TestEval:
+    def test_cluster_eval_metrics(self, cc, bags, cfg):
+        cl = cc_st.clusters(cc)
+        per = evalcc.evaluate(cl, bags, cfg.threshold)
+        rows = per.collect()
+        assert rows
+        for r in rows:
+            assert r["pairs"] >= 1
+            assert 0 <= r["miss_rate"] <= 1
+        g = evalcc.global_metrics(per)
+        assert g["clusters"] == len(rows)
+
+    def test_per_row_invariants(self, images):
+        v = validate.validate(images)
+        bad = v.filter("NOT (decode_ok AND shape_ok AND phash_ok)").count()
+        assert bad == 0
+        assert v.filter("psnr < 40").count() == 0
+
+
+class TestPipeline:
+    def test_end_to_end_with_checkpoints_and_resume(self, spark, images, cfg,
+                                                    tmp_path):
+        from apollo_spark.pipeline import run_pipeline
+        out = run_pipeline(spark, images, cfg, str(tmp_path),
+                           extensions=True, evaluate=False)
+        n_cc = out["cc"].count()
+        assert n_cc == images.count()
+        # resume: second run loads all checkpoints (no recompute)
+        out2 = run_pipeline(spark, images, cfg, str(tmp_path))
+        assert out2["cc"].count() == n_cc
+        import json
+        with open(tmp_path / "manifest.json") as f:
+            m = json.load(f)
+        assert set(m["stages"]) >= {"bags", "signatures", "bands", "cc",
+                                    "clusters"}
+        # per-partition lineage metrics recorded
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        mdf = cat.metrics()
+        assert mdf.filter("stage = 'bags'").count() > 0
+
+    def test_extensions_only_add_edges(self, spark, images, cfg, tmp_path):
+        from apollo_spark.pipeline import run_pipeline
+        base = run_pipeline(spark, images, cfg, str(tmp_path / "a"),
+                            extensions=False)
+        ext = run_pipeline(spark, images, cfg, str(tmp_path / "b"),
+                           extensions=True)
+        base_pairs = {(r["a"], r["b"])
+                      for r in cc_st.dup_pairs(base["cc"]).collect()}
+        ext_pairs = {(r["a"], r["b"])
+                     for r in cc_st.dup_pairs(ext["cc"]).collect()}
+        assert base_pairs <= ext_pairs
