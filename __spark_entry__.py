@@ -1,10 +1,19 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the apollo_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2 plus
+the training-data ops ladder (dedup / similarity / text / multimodal) over
+the driver's testdata tables; ``oracle_sql()`` carries the DuckDB twin of
+each — identical math (md5-derived portable hashes, double-precision folds,
+6dp rounding grids) so value hashes match bit-for-bit. Kernel-backed stages
+(Weighted MinHash, LSH-ANN, binary decode) are rows-only entries.
+
+Operator map (SURVEY.md §2 ids):
+  A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
+  oracled in tests vs the NumPy golden kernel) · H5 minhash_bands ·
+  J2 candidate_pairs · J5/G1 dedup_cc · G5 cluster_sizes · V1/V2
+  minhash_dedup/ngram_jaccard · P4 df filters (inside A1) — plus the
+  dedup ladder (exact/minhash/simhash/ngram/cosine), ANN search, text
+  analysis, and multimodal byte plumbing.
 """
 
 from __future__ import annotations
@@ -12,27 +21,358 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apollo_spark.config import PipelineConfig
+from apollo_spark.ops import dedup, multimodal, similarity, text
+from apollo_spark.stages import bags as bags_stage
+from apollo_spark.stages import candidates, cc as cc_stage, hashst
+
+# ---------------------------------------------------------------- loaders
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_as_images(docs: DataFrame) -> DataFrame:
+    """Adapter: text documents -> the input_hint images schema so the
+    flagship image pipeline runs on driver testdata (caption = text,
+    phash = portable md5-60bit stand-in)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.lit(64).alias("w"), F.lit(64).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.col("text").alias("caption"),
+        F.expr("cast(conv(substring(md5(text), 1, 15), 16, 10) AS bigint)")
+        .alias("phash"))
+
+
+_FLAGSHIP_CFG = PipelineConfig(caption_shingle_k=4, phash_ngram_bits=16,
+                               phash_ngram_stride=16)
+
+
+def _flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents-as-images -> bags -> WMH signatures -> LSH bands ->
+    iterative-join CC -> clusters. The full apollo chain, no checkpoints."""
+    images = _docs_as_images(_docs(spark, sf_dir))
+    cfg = _FLAGSHIP_CFG
+    bags = bags_stage.run(images, cfg)
+    _, bands = hashst.run(bags, cfg)
+    cc = cc_stage.connected_components(bands, cfg, all_ids=images)
+    return cc_stage.clusters(cc)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: near-duplicate clusters of the corpus."""
+    return _flagship_clusters(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- dedup ladder over documents (oracled) ---
+    q["exact_dedup"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["shingle_docfreq"] = lambda s, d: (
+        dedup.word_shingles(_docs(s, d))
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2))
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
+    q["minhash_bands"] = lambda s, d: dedup.lsh_bands(
+        dedup.minhash_signatures(_docs(s, d)))
+    q["lsh_buckets"] = lambda s, d: dedup.lsh_buckets(dedup.lsh_bands(
+        dedup.minhash_signatures(_docs(s, d))))
+    q["candidate_pairs"] = lambda s, d: dedup.candidate_pairs(dedup.lsh_bands(
+        dedup.minhash_signatures(_docs(s, d))))
+    q["minhash_dedup"] = lambda s, d: dedup.minhash_dedup(_docs(s, d))
+    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
+    q["dedup_cc"] = lambda s, d: dedup.connected_components_pairs(
+        dedup.minhash_dedup(_docs(s, d)).select("a", "b"))
+    q["cluster_sizes"] = lambda s, d: (
+        dedup.connected_components_pairs(
+            dedup.minhash_dedup(_docs(s, d)).select("a", "b"))
+        .groupBy("cc_id").agg(F.count(F.lit(1)).alias("n_members")))
+    q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
+
+    # --- text analysis (oracled) ---
+    q["token_count"] = lambda s, d: text.token_count(_docs(s, d))
+    q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
+    q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
+    q["doc_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+
+    # --- embeddings (oracled) ---
+    q["cosine_neardup"] = lambda s, d: similarity.cosine_pairs(
+        _emb(s, d), 0.40)
+    q["embedding_topk"] = lambda s, d: similarity.topk_neighbors(
+        _emb(s, d), n_queries=20, k=5)
+
+    # --- multimodal byte plumbing (oracled on the ascii projection) ---
+    q["byte_stats"] = lambda s, d: (
+        multimodal.byte_stats(multimodal.binary_corpus(_docs(s, d)))
+        .select("doc_id", "n_bytes", "byte_sum_mod", "first_byte"))
+
+    # --- kernel-backed stages (rows-only; kernels oracled in pytest) ---
+    q["wmh_clusters"] = _flagship_clusters
+    q["wmh_signature_census"] = lambda s, d: (
+        hashst.run(bags_stage.run(_docs_as_images(_docs(s, d)),
+                                  _FLAGSHIP_CFG), _FLAGSHIP_CFG)[1]
+        .groupBy("hashtable").agg(F.count(F.lit(1)).alias("n_bands")))
+    q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk(
+        _emb(s, d), n_queries=20, k=5, nbits=6, ntables=16)
+    q["simhash_phash_pairs"] = _simhash_phash_query
+    q["decode_features"] = _decode_features_query
+    return q
+
+
+def _simhash_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pass over real perceptual hashes (synthetic
+    image corpus with planted duplicate clusters); rows-only check."""
+    from apollo_spark import synth
+    images = spark.read.parquet(synth.cached_corpus_path(300)) \
+        .drop("gt_cluster")
+    return candidates.simhash_pairs(images, PipelineConfig())
+
+
+def _decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing over the deterministic synthetic image corpus
+    (documents carry no real image bytes); rows-only check."""
+    from apollo_spark import synth
+    images = spark.read.parquet(synth.cached_corpus_path(300))
+    return multimodal.decode_features(images)
+
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES = """
+tok AS (SELECT doc_id::BIGINT AS doc_id, string_split(trim(text), ' ') AS tk,
+               text FROM documents),
+pos AS (SELECT doc_id, tk,
+               unnest(range(0, greatest(len(tk) - 5, 0) + 1)) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i + 1:i + 5], ' ') AS shingle
+       FROM pos)
+"""
+
+_MINHASH = _SHINGLES + """,
+perms AS (SELECT unnest(range(0, 8)) AS perm),
+mh AS (SELECT doc_id, perm,
+              min(('0x' || substring(md5(perm::VARCHAR || ':' || shingle),
+                                     1, 15))::BIGINT) AS minhash
+       FROM sh CROSS JOIN perms GROUP BY doc_id, perm)
+"""
+
+_BANDS = _MINHASH + """,
+bands AS (SELECT doc_id, (perm // 2)::BIGINT AS band_idx,
+                 string_agg(minhash::VARCHAR, '_' ORDER BY perm) AS band_key
+          FROM mh GROUP BY doc_id, perm // 2)
+"""
+
+_CAND = _BANDS + """,
+bucket AS (SELECT band_idx, band_key FROM bands
+           GROUP BY band_idx, band_key
+           HAVING count(*) BETWEEN 2 AND 512),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM bands a JOIN bucket USING (band_idx, band_key)
+         JOIN bands b USING (band_idx, band_key)
+         WHERE a.doc_id < b.doc_id)
+"""
+
+
+def _jaccard_parts(threshold: float, cand_cte: str) -> tuple[str, str]:
+    """(ctes, final_select) for candidate verification by exact Jaccard."""
+    ctes = cand_cte + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS inter
+          FROM cand c JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+          GROUP BY c.a, c.b)"""
+    sel = f"""SELECT c.a, c.b,
+       round(coalesce(i.inter, 0)::DOUBLE
+             / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b
+WHERE round(coalesce(i.inter, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) >= {threshold}"""
+    return ctes, sel
+
+
+def _jaccard_verify(threshold: float, cand_cte: str) -> str:
+    ctes, sel = _jaccard_parts(threshold, cand_cte)
+    return ctes + "\n" + sel
+
+
+_NGRAM_CAND = _SHINGLES + """,
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) BETWEEN 2 AND 1024),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id)
+"""
+
+def _cc_sql(select_clause: str) -> str:
+    """CC over the verified minhash pairs via recursive min-label reach."""
+    ctes, body = _jaccard_parts(0.7, _CAND)
+    return f"""WITH RECURSIVE {ctes},
+vp AS ({body}),
+edges AS (SELECT a AS src, b AS dst FROM vp
+          UNION SELECT b, a FROM vp),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS doc_id, min(lab) AS cc_id FROM reach GROUP BY node)
+{select_clause}"""
+
+
+_SIMHASH = """
+tok AS (SELECT doc_id::BIGINT AS doc_id,
+               unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+        FROM documents),
+h AS (SELECT doc_id,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+bitsum AS (SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+        FROM bitsum GROUP BY doc_id)
+"""
+
+_EMB_NORM = """
+e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+"""
+
+_TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
+           "string_split(trim(text), ' ') AS tk FROM documents)")
+
+_STOPLIST = "['" + "', '".join(text.EN_STOPWORDS) + "']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["exact_dedup"] = """
+WITH h AS (SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_md5
+           FROM documents),
+canon AS (SELECT content_md5, min(doc_id) AS canonical_id
+          FROM h GROUP BY content_md5)
+SELECT h.doc_id, h.content_md5, canon.canonical_id
+FROM h JOIN canon USING (content_md5)"""
+
+    o["shingle_docfreq"] = f"""
+WITH {_SHINGLES}
+SELECT shingle, count(*)::BIGINT AS df FROM sh
+GROUP BY shingle HAVING count(*) >= 2"""
+
+    o["minhash_signatures"] = f"""
+WITH {_MINHASH}
+SELECT doc_id, perm::BIGINT AS perm, minhash FROM mh"""
+
+    o["minhash_bands"] = f"""
+WITH {_BANDS}
+SELECT doc_id, band_idx, band_key FROM bands"""
+
+    o["lsh_buckets"] = f"""
+WITH {_BANDS}
+SELECT band_idx, band_key, count(*)::BIGINT AS n FROM bands
+GROUP BY band_idx, band_key HAVING count(*) BETWEEN 2 AND 512"""
+
+    o["candidate_pairs"] = f"""
+WITH {_CAND}
+SELECT a, b FROM cand"""
+
+    o["minhash_dedup"] = "WITH " + _jaccard_verify(0.7, _CAND)
+
+    o["ngram_jaccard"] = "WITH " + _jaccard_verify(0.5, _NGRAM_CAND)
+
+    o["dedup_cc"] = _cc_sql("SELECT doc_id, cc_id FROM cc")
+
+    o["cluster_sizes"] = _cc_sql(
+        "SELECT cc_id, count(*)::BIGINT AS n_members FROM cc GROUP BY cc_id")
+
+    o["simhash"] = f"""
+WITH {_SIMHASH}
+SELECT doc_id, simhash FROM sig"""
+
+    o["simhash_pairs"] = f"""
+WITH {_SIMHASH}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    o["token_count"] = f"""
+WITH {_TOKENS}
+SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_counted,
+       ceil(length(text) / 4.0)::BIGINT AS n_bpe_est
+FROM tok"""
+
+    o["quality_score"] = f"""
+WITH {_TOKENS}
+SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+  round(len(list_distinct(tk))::DOUBLE / len(tk), 6) AS distinct_ratio,
+  round(len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk), 6)
+    AS stop_ratio,
+  round((length(text) - (len(tk) - 1))::DOUBLE / len(tk), 6) AS mean_tok_len,
+  round(least(len(tk) / 100.0, 1.0) * 0.4
+        + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.3
+        + least((len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk))
+                * 10.0, 1.0) * 0.3, 6) AS quality
+FROM tok"""
+
+    o["lang_id"] = f"""
+WITH {_TOKENS}
+SELECT doc_id,
+  round(len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk), 6)
+    AS stopword_ratio,
+  CASE WHEN len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk) >= 0.08
+       THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM tok"""
+
+    o["doc_fingerprint"] = f"""
+WITH {_TOKENS},
+pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)
+SELECT doc_id,
+       (sum(i * ('0x' || substring(md5(tk[i]), 1, 7))::BIGINT)
+        % 1000000007)::BIGINT AS fingerprint
+FROM pos GROUP BY doc_id"""
+
+    o["cosine_neardup"] = f"""
+WITH {_EMB_NORM}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.40"""
+
+    o["embedding_topk"] = f"""
+WITH {_EMB_NORM},
+s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+      FROM n a JOIN n b ON b.vec_id != a.vec_id WHERE a.vec_id < 20),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT qid, nid, cos, rank::BIGINT AS rank FROM r WHERE rank <= 5"""
+
+    o["byte_stats"] = """
+WITH pos AS (SELECT doc_id::BIGINT AS doc_id, text,
+                    unnest(range(1, length(text) + 1)) AS i FROM documents)
+SELECT doc_id, length(any_value(text))::BIGINT AS n_bytes,
+       (sum(ascii(substring(text, i, 1))) % 997)::BIGINT AS byte_sum_mod,
+       ascii(substring(any_value(text), 1, 1))::BIGINT AS first_byte
+FROM pos GROUP BY doc_id"""
+
+    return o

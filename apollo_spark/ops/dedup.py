@@ -1,0 +1,263 @@
+"""Deduplication operators over a ``documents(doc_id, text)`` table.
+
+The full web-corpus dedup ladder, each rung a standalone operator:
+
+  exact         md5 content hash, groupBy            (1 shuffle)
+  minhash+LSH   word shingles -> K portable minhashes -> banded buckets
+                -> candidate pairs -> exact-Jaccard verify
+  simhash       bitwise majority sketch + pigeonhole block join
+  n-gram        exact Jaccard over shared-shingle candidates
+  cosine        embedding near-dup (ops.similarity)
+
+Same shape as the apollo pipeline (bags -> signatures -> bands -> buckets
+-> pairs -> cc, /root/reference/apollo/hasher.py + graph.py) but with
+*unweighted* MinHash over a portable md5-derived hash so every stage is a
+pure column expression, reproducible bit-for-bit in any SQL engine (the
+DuckDB oracles in __spark_entry__.py run the identical math). The
+apollo-semantics Weighted MinHash path (NumPy kernel, Ioffe CWS) lives in
+core/wmh.py + stages/hashst.py; this module is the lighter text-corpus
+ladder.
+
+Scale notes (100 TB): every stage is scan -> narrow transform ->
+keyed shuffle; no driver-resident state, no collect. Hot shingles are
+df-capped before the self-join (stop-phrase guard), bucket sizes are
+capped before pair materialization (the O(bucket²) guard, mirroring
+graph.py:209-249's linear/quadratic triage), and AQE skew-join splitting
+handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apollo_spark.ops.text import md5_long, tokens_col
+
+DEFAULT_SHINGLE_W = 5    # word-shingle width
+DEFAULT_K = 8            # minhash permutations
+DEFAULT_R = 2            # rows per LSH band -> b = K/r bands
+BUCKET_CAP = 512         # max bucket size allowed to emit quadratic pairs
+SHINGLE_DF_CAP = 1024    # shared-shingle join guard for ngram_jaccard
+
+
+def word_shingles(docs: DataFrame, w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """Distinct word w-shingles per document: (doc_id, shingle).
+
+    Documents shorter than w tokens emit their whole text as the single
+    shingle (so every doc participates in dedup)."""
+    toks = tokens_col()
+    shingles = F.expr(
+        f"transform(sequence(0, greatest(size(split(trim(text), ' ')) - {w}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), ' '), i + 1, {w})))")
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.explode(shingles).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K,
+                       w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """Portable MinHash signatures, long format: (doc_id, perm, minhash).
+
+    Permutation i hashes each shingle as md5(i || ':' || shingle) -> 60-bit
+    int; signature element = min. One explode (k rows per shingle) + one
+    partial-agg shuffle on doc_id. k stays small (k·n rows in flight);
+    for the 128-sample weighted variant use stages/hashst.py."""
+    sh = word_shingles(docs, w)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
+    hashed = (sh.select("doc_id", "shingle", perms)
+              .select("doc_id", "perm",
+                      md5_long(F.concat_ws(":", F.col("perm").cast("string"),
+                                           F.col("shingle"))).alias("h")))
+    return (hashed.groupBy("doc_id", "perm")
+            .agg(F.min("h").alias("minhash")))
+
+
+def lsh_bands(signatures: DataFrame, r: int = DEFAULT_R) -> DataFrame:
+    """Band the long-format signatures: (doc_id, band_idx, band_key).
+
+    band_key concatenates the band's r minhash values in perm order —
+    exact (collision-free for comparison purposes) and string-typed so the
+    oracle can reproduce it. Equivalent of the reference's HashExploder
+    (hasher.py:90-99): signature sliced into b = k/r bands."""
+    return (signatures
+            .withColumn("band_idx", (F.col("perm") / r).cast("long"))
+            .groupBy("doc_id", "band_idx")
+            .agg(F.expr(
+                "concat_ws('_', transform("
+                "array_sort(collect_list(struct(perm, minhash))), "
+                "x -> cast(x.minhash AS string)))").alias("band_key")))
+
+
+def lsh_buckets(bands: DataFrame, min_size: int = 2,
+                max_size: int = BUCKET_CAP) -> DataFrame:
+    """Bucket census: (band_idx, band_key, n) with min_size <= n <= max_size
+    (the A3 size guard + O(bucket²) cap)."""
+    return (bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= min_size) & (F.col("n") <= max_size)))
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Co-bucketed pairs (a < b), distinct across bands — the J2 bucket
+    self-join. Oversized buckets are dropped by lsh_buckets' cap before
+    the quadratic step; AQE splits residual skew."""
+    ok = lsh_buckets(bands).select("band_idx", "band_key")
+    m = bands.join(ok, ["band_idx", "band_key"])
+    a = m.select("band_idx", "band_key", F.col("doc_id").alias("a"))
+    b = m.select("band_idx", "band_key", F.col("doc_id").alias("b"))
+    return (a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard(docs: DataFrame, pairs: DataFrame,
+            w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """Exact shingle-set Jaccard for given (a, b) pairs:
+    (a, b, jaccard double). Set sizes are broadcast-joined onto the
+    intersection counts; |∩| via a shingle equi-join restricted to the
+    candidate pairs (semi-filtered so only candidate docs' shingles
+    shuffle)."""
+    sh = word_shingles(docs, w)
+    ids = (pairs.select(F.col("a").alias("doc_id"))
+           .union(pairs.select("b")).distinct())
+    sh = sh.join(ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (pairs
+             .join(sh.select(F.col("doc_id").alias("a"),
+                             F.col("shingle")), "a")
+             .join(sh.select(F.col("doc_id").alias("b"),
+                             F.col("shingle")), ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs
+            .join(inter, ["a", "b"], "left")
+            .na.fill({"inter": 0})
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("szb")), "b")
+            .select("a", "b",
+                    F.round(F.col("inter").cast("double")
+                            / (F.col("sza") + F.col("szb") - F.col("inter")),
+                            6).alias("jaccard")))
+
+
+def minhash_dedup(docs: DataFrame, threshold: float = 0.7,
+                  k: int = DEFAULT_K, r: int = DEFAULT_R,
+                  w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """Full MinHash+LSH near-dup pass: verified pairs
+    (a, b, jaccard >= threshold)."""
+    cands = candidate_pairs(lsh_bands(minhash_signatures(docs, k, w), r))
+    return (jaccard(docs, cands, w)
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """Exhaustive-candidate n-gram Jaccard: pairs sharing >= 1 shingle,
+    verified exactly. Recall-complete down to 1 shared shingle (unlike
+    LSH) but quadratic in shingle df — df-capped, for tight-threshold
+    passes at moderate scale or as the LSH recall reference."""
+    sh = word_shingles(docs, w)
+    dfcap = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+             .select("shingle"))
+    shc = sh.join(dfcap, "shingle")
+    cands = (shc.select("shingle", F.col("doc_id").alias("a"))
+             .join(shc.select("shingle", F.col("doc_id").alias("b")),
+                   "shingle")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    return jaccard(docs, cands, w).filter(F.col("jaccard") >= threshold)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: (doc_id, content_md5, canonical_id)
+    where canonical_id = min doc_id sharing the md5. Keep rows with
+    doc_id == canonical_id; drop the rest. One shuffle."""
+    h = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.md5(F.col("text")).alias("content_md5"))
+    canon = (h.groupBy("content_md5")
+             .agg(F.min("doc_id").alias("canonical_id")))
+    return h.join(canon, "content_md5") \
+        .select("doc_id", "content_md5", "canonical_id")
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash sketch: (doc_id, simhash long). Bit j of the sketch is the
+    majority vote of bit j over the md5-hashes of the document's distinct
+    tokens (ties -> 0 via strict > comparison). Pure column math —
+    one explode + one agg."""
+    toks = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.explode(F.array_distinct(tokens_col()))
+                        .alias("tok"))
+            .withColumn("h", md5_long(F.col("tok"))))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                          1).otherwise(-1)).alias(f"v{j}")
+             for j in range(bits)]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return voted.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 32,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming ball: (a, b, hamming).
+
+    Pigeonhole block join: split the sketch into max_hamming+1 equal bit
+    blocks — any pair within the ball agrees exactly on >= 1 block — join
+    per block, verify with xor+bit_count, distinct. Linear in input +
+    per-block bucket joins instead of the O(n²) cross join (which the
+    oracle uses, brute force, to certify equivalence)."""
+    nblocks = max_hamming + 1
+    bw = bits // nblocks
+    sig = simhash(docs, bits)
+    blocks = F.explode(F.expr(
+        f"transform(sequence(0, {nblocks - 1}), "
+        f"i -> struct(i AS blk, shiftright(simhash, i * {bw}) & {(1 << bw) - 1} AS val))"))
+    tagged = (sig.select("doc_id", "simhash", blocks.alias("b"))
+              .select("doc_id", "simhash", "b.blk", "b.val"))
+    a = tagged.select("blk", "val", F.col("doc_id").alias("a"),
+                      F.col("simhash").alias("sa"))
+    b = tagged.select("blk", "val", F.col("doc_id").alias("b"),
+                      F.col("simhash").alias("sb"))
+    return (a.join(b, ["blk", "val"])
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+            .distinct())
+
+
+def connected_components_pairs(pairs: DataFrame,
+                               max_iter: int = 15) -> DataFrame:
+    """Min-label propagation over an (a, b) edge list -> (doc_id, cc_id)
+    for every endpoint; cc_id = min doc_id reachable. The numeric-id twin
+    of stages/cc.py (same fixpoint, same localCheckpoint lineage cut);
+    dup components are shallow so rounds ~ O(diameter) stays small."""
+    edges = (pairs.select(F.col("a").cast("long").alias("src"),
+                          F.col("b").cast("long").alias("dst"))
+             .union(pairs.select(F.col("b").cast("long"),
+                                 F.col("a").cast("long")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel")))
+        new = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least("label", "nlabel").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "doc_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cc_id"))

@@ -1,0 +1,157 @@
+"""Similarity search over an ``embeddings(vec_id, embedding float[])`` table.
+
+Brute-force cosine top-k as the exact baseline (broadcast the query side;
+scan the corpus once), random-hyperplane LSH bucketing as the scale path
+(candidates only within matching sign-buckets; NumPy matmul kernel in
+mapInPandas for the projections). Cosine math is a JVM-side zip_with/
+aggregate fold in double precision so results are deterministic and
+reproducible by the SQL oracles.
+
+Scale notes (100 TB / 10^10 vectors): brute force is one broadcast join —
+linear scan per query batch, embarrassingly parallel, no shuffle; LSH cuts
+the scan to matching buckets (expected n / 2^bits per probe) at measured
+recall (see tests/test_ops.py::test_ann_lsh_recall). IVF would slot in the
+same way with k-means centroids replacing the hyperplanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential double-precision fold — same order as the oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm) — L2 norms precomputed once so pair math
+    only does the cross dot product."""
+    return emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "embedding",
+                      F.sqrt(_dot("embedding", "embedding")).alias("norm"))
+
+
+def cosine_expr(prefix_a: str = "a", prefix_b: str = "b") -> Column:
+    """cos = dot(va, vb) / (norm_a * norm_b), rounded to 6dp (the rounding
+    makes thresholding engine-portable: a 1e-6 grid swamps ulp noise)."""
+    return F.round(
+        _dot(f"{prefix_a}.embedding", f"{prefix_b}.embedding")
+        / (F.col(f"{prefix_a}.norm") * F.col(f"{prefix_b}.norm")), 6)
+
+
+def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (a < b) with rounded cosine >= threshold — the
+    embedding-cosine near-dup rung of the dedup ladder. Brute-force
+    O(n²/2) pair scan (certification/eval scale); production near-dup at
+    10^12 rows goes through ann_lsh buckets first, identical verify."""
+    n = with_norm(emb)
+    a, b = n.alias("a"), n.alias("b")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("a"),
+                    F.col("b.vec_id").alias("b"),
+                    cosine_expr().alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def topk_neighbors(emb: DataFrame, n_queries: int = 20,
+                   k: int = 5) -> DataFrame:
+    """Exact top-k by cosine for the first ``n_queries`` vectors:
+    (qid, nid, cos, rank). Query side is broadcast (tiny) so the corpus
+    scans once with no shuffle; ranking ties on the 6dp-rounded cosine
+    break deterministically by neighbor id."""
+    n = with_norm(emb)
+    q = n.filter(F.col("vec_id") < n_queries).alias("a")
+    c = n.alias("b")
+    scored = (F.broadcast(q)
+              .join(c, F.col("a.vec_id") != F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("qid"),
+                      F.col("b.vec_id").alias("nid"),
+                      cosine_expr().alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cos", F.col("rank").cast("long")
+                    .alias("rank")))
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, float64 (dim x nbits)."""
+    gen = np.random.Generator(np.random.PCG64(seed))
+    return gen.standard_normal((dim, nbits))
+
+
+def lsh_bucketed(emb: DataFrame, nbits: int = 8, seed: int = 42,
+                 ntables: int = 8) -> DataFrame:
+    """(vec_id, table, bucket) — multi-table random-hyperplane sign sketch
+    (``ntables`` independent tables of ``nbits`` planes each; union of the
+    per-table bucket matches drives candidate recall, 1-(1-p)^T, exactly
+    like LSH banding on the MinHash side).
+
+    Projections are one NumPy matmul per Arrow batch (mapInPandas): the
+    vectorized scale path, no per-row Python. Planes regenerate from the
+    seed on every executor — nothing shipped but the closure (the same
+    trick as the WMH parameter broadcast, stages/hashst.py)."""
+    dim = len(emb.select("embedding").first()[0])
+
+    def project(it):
+        planes = hyperplanes(dim, nbits * ntables, seed)
+        weights = (1 << np.arange(nbits)).astype(np.int64)
+        for pdf in it:
+            m = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            if m.size == 0:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "table": pd.Series(dtype="int64"),
+                                    "bucket": pd.Series(dtype="int64")})
+                continue
+            bits = (m @ planes) > 0                      # (n, T*nbits)
+            n = len(pdf)
+            keys = (bits.reshape(n, ntables, nbits) @ weights)  # (n, T)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), ntables),
+                "table": np.tile(np.arange(ntables, dtype=np.int64), n),
+                "bucket": keys.reshape(-1),
+            })
+
+    return emb.select("vec_id", "embedding") \
+        .mapInPandas(project, schema="vec_id long, table long, bucket long")
+
+
+def ann_topk(emb: DataFrame, n_queries: int = 20, k: int = 5,
+             nbits: int = 8, seed: int = 42, ntables: int = 8) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any (table, bucket)
+    with the query, then exact cosine rank within. Same output shape as
+    topk_neighbors — recall measured against it in tests. The bucket
+    equi-join replaces the full scan: expected candidates per query
+    ~ T * n / 2^nbits (minus overlap)."""
+    t = lsh_bucketed(emb, nbits, seed, ntables)
+    cand = (F.broadcast(t.filter(F.col("vec_id") < n_queries)
+                        .select(F.col("vec_id").alias("qid"),
+                                "table", "bucket"))
+            .join(t, ["table", "bucket"])
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", F.col("vec_id").alias("nid"))
+            .distinct())
+    n = with_norm(emb)
+    scored = (cand
+              .join(F.broadcast(n.select(F.col("vec_id").alias("qid"),
+                                         F.col("embedding").alias("qv"),
+                                         F.col("norm").alias("qn"))), "qid")
+              .join(n.select(F.col("vec_id").alias("nid"),
+                             F.col("embedding").alias("nv"),
+                             F.col("norm").alias("nn")), "nid")
+              .select("qid", "nid",
+                      F.round(_dot("qv", "nv")
+                              / (F.col("qn") * F.col("nn")), 6)
+                      .alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cos",
+                    F.col("rank").cast("long").alias("rank")))

@@ -1,0 +1,193 @@
+"""Tests for the training-data ops ladder (dedup / similarity / text /
+multimodal): pure-Python ground truths, recall gates for the approximate
+passes, determinism, and the multimodal plumbing invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from apollo_spark.ops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def _py_shingles(txt: str, w: int = 5) -> set[str]:
+    t = txt.strip().split(" ")
+    if len(t) <= w:
+        return {" ".join(t)}
+    return {" ".join(t[i:i + w]) for i in range(len(t) - w + 1)}
+
+
+def _py_jaccard(a: str, b: str, w: int = 5) -> float:
+    sa, sb = _py_shingles(a, w), _py_shingles(b, w)
+    return len(sa & sb) / len(sa | sb)
+
+
+class TestDedup:
+    def test_exact_dedup_planted(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                            "text": ["x y z", "a b c", "x y z", "q"]})
+        out = dedup.exact_dedup(spark.createDataFrame(pdf)).toPandas() \
+            .set_index("doc_id")
+        assert out.loc[3, "canonical_id"] == 1
+        assert out.loc[1, "canonical_id"] == 1
+        assert out.loc[2, "canonical_id"] == 2
+
+    def test_minhash_lsh_recall_vs_exhaustive(self, docs, docs_pdf):
+        """LSH candidates must recover >=95% of true Jaccard>=0.8 pairs
+        (with k=8, r=2, b=4: P(detect | j=0.8) = 1-(1-0.8^2)^4 ~= 0.983)."""
+        truth = set()
+        texts = docs_pdf.set_index("doc_id")["text"]
+        sh = {i: _py_shingles(t) for i, t in texts.items()}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                if inter and inter / len(sh[a] | sh[b]) >= 0.8:
+                    truth.add((min(a, b), max(a, b)))
+        assert truth, "fixture should contain planted near-dups"
+        got = {(r.a, r.b) for r in
+               dedup.minhash_dedup(docs, threshold=0.8).collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.95, (recall, len(truth))
+        # verification guarantees precision = 1 vs the same truth set
+        assert got <= truth
+
+    def test_ngram_jaccard_matches_python(self, docs, docs_pdf):
+        out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+        texts = docs_pdf.set_index("doc_id")["text"]
+        for r in out.itertuples():
+            assert abs(_py_jaccard(texts[r.a], texts[r.b]) - r.jaccard) < 1e-6
+
+    def test_simhash_block_join_equals_bruteforce(self, docs):
+        sig = dedup.simhash(docs).toPandas()
+        h = sig.set_index("doc_id")["simhash"]
+        ids = sorted(h.index)
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(int(h[a]) ^ int(h[b])).count("1") <= 3}
+        got = {(r.a, r.b) for r in dedup.simhash_pairs(docs).collect()}
+        assert got == brute
+
+    def test_cc_pairs_union_find(self, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 2, 10, 11, 20],
+                          "b": [2, 3, 11, 12, 21]}))
+        out = {r.doc_id: r.cc_id for r in
+               dedup.connected_components_pairs(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_matches_numpy(self, emb):
+        out = similarity.topk_neighbors(emb, n_queries=5, k=3).toPandas()
+        pdf = emb.toPandas().sort_values("vec_id")
+        m = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+        vid = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ m.T) / np.outer(norms, norms)
+        for q in range(5):
+            qi = np.where(vid == q)[0][0]
+            row = np.round(cos[qi], 6)
+            row[qi] = -2
+            order = np.lexsort((vid, -row))[:3]
+            expect = [int(vid[j]) for j in order]
+            got = out[out.qid == q].sort_values("rank")["nid"].tolist()
+            assert got == expect, (q, got, expect)
+
+    def test_ann_lsh_recall(self, emb):
+        exact = similarity.topk_neighbors(emb, n_queries=30, k=5).toPandas()
+        approx = similarity.ann_topk(emb, n_queries=30, k=5,
+                                     nbits=6, ntables=16).toPandas()
+        e = {(r.qid, r.nid) for r in exact.itertuples()}
+        a = {(r.qid, r.nid) for r in approx.itertuples()}
+        recall = len(e & a) / len(e)
+        # uniform-random embeddings are LSH's adversarial case (neighbors
+        # barely closer than random); multi-table still recovers most
+        assert recall >= 0.5, recall
+
+    def test_lsh_bucket_determinism(self, emb):
+        a = similarity.lsh_bucketed(emb, nbits=6).toPandas() \
+            .sort_values(["vec_id", "table"])["bucket"].tolist()
+        b = similarity.lsh_bucketed(emb, nbits=6).toPandas() \
+            .sort_values(["vec_id", "table"])["bucket"].tolist()
+        assert a == b
+
+
+class TestText:
+    def test_token_count(self, spark):
+        out = text.token_count(spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["one two three"]})
+        )).collect()[0]
+        assert out.n_tokens == 3 and out.n_chars_counted == 13
+        assert out.n_bpe_est == 4  # ceil(13/4)
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta", "beta alpha"]}))
+        fps = text.fingerprint(df).toPandas()["fingerprint"].tolist()
+        assert fps[0] != fps[1]
+
+    def test_lang_id_stopword_logic(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["the cat is on the mat", "zr qw xx yy zz"]}))
+        out = text.lang_id(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "pred_lang"] == "en"
+        assert out.loc[2, "pred_lang"] == "unknown"
+
+    def test_quality_monotone_in_length(self, docs):
+        out = text.quality_score(docs).toPandas()
+        assert (out["quality"] > 0).all() and (out["quality"] <= 1).all()
+
+
+class TestMultimodal:
+    def test_byte_stats_matches_python(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2],
+                            "text": ["hello world", "a"]})
+        out = multimodal.byte_stats(
+            multimodal.binary_corpus(spark.createDataFrame(pdf))
+        ).toPandas().set_index("doc_id")
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode()
+            assert out.loc[i, "n_bytes"] == len(raw)
+            assert out.loc[i, "byte_sum_mod"] == sum(raw) % 997
+            assert out.loc[i, "first_byte"] == raw[0]
+            assert out.loc[i, "crc32"] == zlib.crc32(raw)
+
+    def test_decode_deterministic_and_shaped(self, spark, images):
+        sub = images.limit(50)
+        a = multimodal.decode_features(sub).toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        b = multimodal.decode_features(sub).toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["decoder"] == "stub").all()
+        assert (a["w"] > 0).all() and (a["std_px"] >= 0).all()
+
+    def test_psnr(self):
+        x = np.zeros((8, 8), dtype=np.uint8)
+        assert multimodal.psnr(x, x) == float("inf")
+        y = x.copy(); y[0, 0] = 255
+        assert 10 < multimodal.psnr(x, y) < 40
