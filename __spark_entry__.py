@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from apollo_spark.config import PipelineConfig
 from apollo_spark.ops import dedup, multimodal, similarity, text
 from apollo_spark.stages import bags as bags_stage
-from apollo_spark.stages import candidates, cc as cc_stage, hashst
+from apollo_spark.stages import candidates, cc as cc_stage, evalcc, hashst
+from apollo_spark.stages import validate as validate_stage
 
 # ---------------------------------------------------------------- loaders
 
@@ -118,8 +119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.byte_stats(multimodal.binary_corpus(_docs(s, d)))
         .select("doc_id", "n_bytes", "byte_sum_mod", "first_byte"))
 
+    # --- interactive query: LSH probe + exact-Jaccard re-rank (J3+V1/V2,
+    #     reference query.py:14-81) over the portable minhash bands (oracled)
+    q["wjacc_query"] = _wjacc_query
+
     # --- kernel-backed stages (rows-only; kernels oracled in pytest) ---
     q["wmh_clusters"] = _flagship_clusters
+    q["cluster_eval"] = _cluster_eval_query
+    q["validate_rows"] = _validate_query
+    q["substring_candidates"] = _substring_query
     q["wmh_signature_census"] = lambda s, d: (
         hashst.run(bags_stage.run(_docs_as_images(_docs(s, d)),
                                   _FLAGSHIP_CFG), _FLAGSHIP_CFG)[1]
@@ -129,6 +137,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_phash_pairs"] = _simhash_phash_query
     q["decode_features"] = _decode_features_query
     return q
+
+
+def _wjacc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive similarity lookup (the reference's `apollo query
+    --precise`, query.py:14-81): qids = the 5 lowest doc ids with a
+    verified near-dup; probe = broadcast join of their bands against the
+    bands table (J3); re-rank = exact shingle Jaccard (V1/V2). Output
+    (a, b, jaccard) with a < b normalization; a query doc is an endpoint
+    of every row. The band table is built once and persisted — the probe,
+    the candidate generation, and the qid selection all reuse it."""
+    docs = _docs(spark, sf_dir)
+    # localCheckpoint (eager) cuts the DAG: downstream consumers reference
+    # each intermediate several times and must not recompute the chain.
+    bands = dedup.lsh_bands(dedup.minhash_signatures(docs)).localCheckpoint()
+    vp = dedup.jaccard(docs, dedup.candidate_pairs(bands).localCheckpoint()) \
+        .filter(F.col("jaccard") >= 0.7)
+    qids = (vp.select(F.col("a").alias("qid")).distinct()
+            .orderBy("qid").limit(5).localCheckpoint())
+    qbands = (bands.join(F.broadcast(qids), bands.doc_id == F.col("qid"))
+              .select("qid", "band_idx", "band_key").distinct())
+    pairs = (bands.join(F.broadcast(qbands), ["band_idx", "band_key"])
+             .filter(F.col("doc_id") != F.col("qid"))
+             .select(F.least("doc_id", "qid").alias("a"),
+                     F.greatest("doc_id", "qid").alias("b"))
+             .distinct().localCheckpoint())
+    return dedup.jaccard(docs, pairs)
+
+
+def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 cluster-fitness telemetry (reference graph.py:349-412) over the
+    flagship chain's clusters; applyInPandas kernel -> rows-only check."""
+    images = _docs_as_images(_docs(spark, sf_dir))
+    cfg = _FLAGSHIP_CFG
+    bags = bags_stage.run(images, cfg).persist()
+    _, bands = hashst.run(bags, cfg)
+    cc = cc_stage.connected_components(bands, cfg, all_ids=images)
+    return evalcc.evaluate(cc_stage.clusters(cc), bags, cfg.threshold)
+
+
+def _validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant pass (input_hint: decode round-trip, PSNR>=40dB
+    lossy, phash consistency) over the synthetic image corpus; rows-only."""
+    from apollo_spark import synth
+    images = spark.read.parquet(synth.cached_corpus_path(300)) \
+        .drop("gt_cluster")
+    return validate_stage.validate(images)
+
+
+def _substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring candidate pass over captions (axis extension);
+    rows-only."""
+    from apollo_spark import synth
+    images = spark.read.parquet(synth.cached_corpus_path(300)) \
+        .drop("gt_cluster")
+    return candidates.substring_membership(images, PipelineConfig()) \
+        .select("image_id", "hashtable",
+                F.hex(F.col("band")).alias("band_hex"))
 
 
 def _simhash_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +365,28 @@ SELECT a, b FROM cand"""
 
     o["cluster_sizes"] = _cc_sql(
         "SELECT cc_id, count(*)::BIGINT AS n_members FROM cc GROUP BY cc_id")
+
+    _jc, _jb = _jaccard_parts(0.7, _CAND)
+    o["wjacc_query"] = f"""
+WITH {_jc},
+vp AS ({_jb}),
+q AS (SELECT DISTINCT a AS qid FROM vp ORDER BY qid LIMIT 5),
+qb AS (SELECT DISTINCT q.qid, band_idx, band_key
+       FROM bands JOIN q ON bands.doc_id = q.qid),
+qc AS (SELECT DISTINCT least(b.doc_id, qb.qid) AS a,
+                       greatest(b.doc_id, qb.qid) AS b
+       FROM bands b JOIN qb USING (band_idx, band_key)
+       WHERE b.doc_id != qb.qid),
+qinter AS (SELECT c.a, c.b, count(*) AS inter
+           FROM qc c JOIN sh x ON x.doc_id = c.a
+           JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+           GROUP BY c.a, c.b)
+SELECT c.a, c.b,
+       round(coalesce(i.inter, 0)::DOUBLE
+             / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+FROM qc c
+LEFT JOIN qinter i ON i.a = c.a AND i.b = c.b
+JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""
 
     o["simhash"] = f"""
 WITH {_SIMHASH}

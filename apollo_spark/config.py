@@ -34,7 +34,14 @@ class PipelineConfig:
 
     # Axis extensions (north_star additions; no reference counterpart)
     simhash_max_hamming: int = 3    # Hamming-ball radius over phash
-    substring_min_len: int = 16     # exact-substring candidate length over captions
+    substring_min_len: int = 32     # exact-substring candidate length over
+                                    # captions. The pass is exact for
+                                    # "captions share >= L+p-1 contiguous
+                                    # chars"; L must be long enough that a
+                                    # chance phrase collision is rare, else
+                                    # transitive CC over-merges (observed at
+                                    # L=16 on 60k synthetic captions: 92% of
+                                    # docs swept into clusters vs ~40% truth)
 
     # Scale / skew controls (north_rule: salted repartitioning + AQE)
     bucket_pair_cap: int = 64       # buckets larger than this never emit quadratic

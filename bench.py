@@ -1,0 +1,103 @@
+"""Benchmark harness: runs the headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship end-to-end dedup pipeline
+(bags -> WMH -> LSH bands -> candidate passes -> CC -> clusters) on the
+deterministic synthetic image corpus, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write so the full plan executes
+(no collect to the driver, no partial evaluation via count-only pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000"))
+
+# Headline queries — one per operator family (SURVEY.md §2 / the dedup
+# ladder). Kept to the set whose cost is dominated by real operator work.
+HEADLINE = [
+    "exact_dedup", "shingle_docfreq", "minhash_signatures", "lsh_buckets",
+    "candidate_pairs", "minhash_dedup", "ngram_jaccard", "dedup_cc",
+    "simhash_pairs", "token_count", "quality_score", "lang_id",
+    "doc_fingerprint", "cosine_neardup", "embedding_topk", "ann_lsh_topk",
+    "byte_stats", "wmh_clusters",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from apollo_spark.session import get_spark
+
+    spark = get_spark("apollo-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # Flagship end-to-end pipeline on the synthetic image corpus: the
+    # metric the north rule cares about (images/sec through
+    # bags->hash->bands->candidates->cc->clusters).
+    import shutil
+    import tempfile
+
+    from apollo_spark import synth
+    from apollo_spark.config import PipelineConfig
+    from apollo_spark.pipeline import run_pipeline
+
+    images = spark.read.parquet(
+        synth.cached_corpus_path(PIPELINE_ROWS)).drop("gt_cluster")
+    images = images.persist()
+    n = images.count()
+    out_dir = tempfile.mkdtemp(prefix="apollo-bench-")
+    try:
+        t0 = time.time()
+        res = run_pipeline(spark, images, PipelineConfig(), out_dir,
+                           extensions=True, evaluate=False)
+        _force(res["clusters"])
+        pipeline_sec = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["e2e_pipeline"] = round(pipeline_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else 0.1
+    print(json.dumps({
+        "metric": "headline_queries_plus_e2e_dedup_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_rows": n,
+        "pipeline_images_per_sec": round(n / pipeline_sec, 1),
+        "cpus": CPUS,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

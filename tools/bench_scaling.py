@@ -1,0 +1,103 @@
+"""Two-cluster-size scaling evidence (BASELINE.md measurement protocol).
+
+The north rule requires throughput at N and 4N executors with scaling
+efficiency >= 0.8. No real cluster exists in this sandbox, so this runs the
+SAME end-to-end pipeline (bags -> WMH -> bands -> candidate passes -> cc ->
+clusters) on the SAME pre-generated corpus at two local parallelism levels
+(local[8] and local[32]) in separate JVMs, and reports throughput at both
+plus efficiency = (tp@4N / tp@N) / 4.
+
+Usage: python tools/bench_scaling.py [--rows 60000] [--runs 3]
+Appends a machine+human readable block to stdout; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_corpus(rows: int, seed: int) -> str:
+    """Distributed generation once (multi-file parquet so both runs read
+    identical, splittable input)."""
+    path = f"/tmp/apollo_scale_corpus/images_n{rows}_s{seed}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from apollo_spark import synth
+    from apollo_spark.session import get_spark
+    spark = get_spark("scale-corpus-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth.images_df(spark, rows, seed).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_once(images: str, cores: int, seed: int) -> dict:
+    out_dir = tempfile.mkdtemp(prefix=f"apollo-scale-c{cores}-")
+    try:
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_CPUS", None)
+        proc = subprocess.run(
+            [sys.executable, "-m", "apollo_spark.pipeline",
+             "--images", images, "--out", out_dir,
+             "--cores", str(cores), "--seed", str(seed)],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=3600)
+        if proc.returncode != 0:
+            raise RuntimeError(f"pipeline failed at cores={cores}:\n"
+                               f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=60000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cores", default="8,32")
+    args = ap.parse_args()
+    lo, hi = (int(c) for c in args.cores.split(","))
+
+    images = gen_corpus(args.rows, args.seed)
+    print(f"corpus: {images} ({args.rows} rows)", file=sys.stderr)
+
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for r in range(args.runs):
+        for cores in (lo, hi):
+            res = run_once(images, cores, args.seed)
+            results[cores].append(res)
+            print(f"run {r + 1}/{args.runs} cores={cores}: "
+                  f"{res['wall_sec']}s {res['images_per_sec']} img/s",
+                  file=sys.stderr)
+
+    tp = {c: statistics.median(x["images_per_sec"] for x in results[c])
+          for c in (lo, hi)}
+    wall = {c: statistics.median(x["wall_sec"] for x in results[c])
+            for c in (lo, hi)}
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
+    print(json.dumps({
+        "rows": args.rows, "runs": args.runs,
+        f"throughput_local{lo}_img_per_sec": tp[lo],
+        f"throughput_local{hi}_img_per_sec": tp[hi],
+        f"wall_local{lo}_sec": wall[lo], f"wall_local{hi}_sec": wall[hi],
+        "scaling_factor": round(tp[hi] / tp[lo], 3),
+        "scaling_efficiency": round(eff, 3),
+        "passes_north_rule": eff >= 0.8,
+        f"timings_local{lo}": results[lo][-1]["timings"],
+        f"timings_local{hi}": results[hi][-1]["timings"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
