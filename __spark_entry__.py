@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- kernel-backed stages (rows-only; kernels oracled in pytest) ---
     q["wmh_clusters"] = _flagship_clusters
     q["cluster_eval"] = _cluster_eval_query
+    q["refined_clusters"] = _refined_clusters_query
     q["validate_rows"] = _validate_query
     q["substring_candidates"] = _substring_query
     q["wmh_signature_census"] = lambda s, d: (
@@ -174,6 +175,19 @@ def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bands = hashst.run(bags, cfg)
     cc = cc_stage.connected_components(bands, cfg, all_ids=images)
     return evalcc.evaluate(cc_stage.clusters(cc), bags, cfg.threshold)
+
+
+def _refined_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 refinement (reference cmd stage, graph.py:195-297 semantics):
+    per-fat-component label propagation over shared-bucket weights;
+    applyInPandas kernel -> rows-only check."""
+    from apollo_spark.stages import refine
+    images = _docs_as_images(_docs(spark, sf_dir))
+    cfg = _FLAGSHIP_CFG
+    bags = bags_stage.run(images, cfg)
+    _, bands = hashst.run(bags, cfg)
+    cc = cc_stage.connected_components(bands, cfg, all_ids=images)
+    return refine.refine_components(cc, bands, cfg)
 
 
 def _validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,18 +84,43 @@ class CheckpointCatalog:
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage))
 
+    def reset(self, stages: list[str] | None = None) -> None:
+        """resetdb analogue (S7, cassandra_utils.py:59-86): drop stage
+        checkpoints — all of them, or a subset (the reference's
+        ``--hashes-only`` maps to reset(["signatures", "bands", ...]))."""
+        import shutil
+        m = self._manifest()
+        for s in (stages if stages is not None else list(m["stages"])):
+            shutil.rmtree(self.path(s), ignore_errors=True)
+            m["stages"].pop(s, None)
+        self._save_manifest(m)
+
     # -- lineage + metrics ---------------------------------------------------
     def _record_metrics(self, stage: str, df: DataFrame,
                         wall_s: float) -> None:
-        """Per-partition lineage: (stage, partition_id, rows) + stage wall
-        time, appended to <root>/metrics (FIXTURES.md §2 metrics schema)."""
-        per_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .withColumn("stage", F.lit(stage))
-                    .withColumn("wall_ms", F.lit(int(wall_s * 1000)))
-                    .withColumn("ts", F.current_timestamp())
-                    .select("stage", "partition_id", "rows", "wall_ms", "ts"))
-        per_part.write.mode("append").parquet(os.path.join(self.root, "metrics"))
+        """Per-partition lineage: (stage, partition_id, rows, bytes) + stage
+        wall time, appended to <root>/metrics.
+
+        Row counts come from the freshly-written parquet FOOTERS (one file
+        per writer task = one partition), not from re-scanning the table —
+        a full extra scan per stage was a measurable serial cost in the
+        N-vs-4N benchmark. On Iceberg the same numbers come from the
+        snapshot's manifest entries."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        files = sorted(glob.glob(os.path.join(self.path(stage), "*.parquet")))
+        for i, f in enumerate(files):
+            md = pq.ParquetFile(f).metadata
+            rows.append((stage, i, md.num_rows, os.path.getsize(f),
+                         int(wall_s * 1000)))
+        per_part = self.spark.createDataFrame(
+            rows, "stage string, partition_id int, rows long, bytes long, "
+                  "wall_ms long").withColumn("ts", F.current_timestamp())
+        per_part.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.root, "metrics"))
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -32,7 +32,8 @@ import numpy as np
 _PHI = np.uint64(0x9E3779B97F4A7C15)
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
-_DRAWS = 5  # uniforms consumed per (feature, sample): r(2), c(2), beta(1)
+_DRAWS = 5  # counter stride per (feature, sample); >= the 3 hash rounds
+            # consumed (r/c/beta draws), kept at 5 for headroom
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -43,10 +44,21 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _uniform(counter: np.ndarray) -> np.ndarray:
-    """counter uint64 -> float64 uniform in (0, 1]."""
-    bits = splitmix64(counter)
-    return ((bits >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+_EXP32_ONE = np.uint32(0x3F800000)  # IEEE-754 float32 exponent for [1, 2)
+
+
+def _two_uniforms(bits64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash array -> two independent float32 uniforms in (0, 1].
+
+    Bit trick instead of an integer->float convert (the convert was 50% of
+    kernel time at scale): reinterpret each 64-bit hash as two uint32
+    halves, graft 23 mantissa bits onto the [1, 2) exponent, reinterpret as
+    float32, and map [1, 2) -> (0, 1] via 2 - x. Zero is impossible, so
+    log() downstream is always finite."""
+    h32 = bits64.view(np.uint32).reshape(*bits64.shape, 2)
+    f = ((h32 >> np.uint32(9)) | _EXP32_ONE).view(np.float32)
+    two = np.float32(2.0)
+    return two - f[..., 0], two - f[..., 1]
 
 
 def feature_hash(feature: str) -> int:
@@ -106,7 +118,7 @@ def weighted_minhash(v: np.ndarray, sample_size: int, rs: np.ndarray,
 
 def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
               weights: np.ndarray, sample_size: int, seed: int,
-              chunk: int = 16) -> np.ndarray:
+              chunk: int = 4) -> np.ndarray:
     """Batched sparse kernel — the production path inside mapInPandas.
 
     Documents are CSR-style segments: doc d owns rows
@@ -131,7 +143,7 @@ def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
     starts = indptr[:-1].astype(np.int64)
     doc_of_row = np.repeat(np.arange(ndocs, dtype=np.int64),
                            np.diff(indptr).astype(np.int64))
-    row_ids = np.arange(nnz, dtype=np.int64)
+    row_ids = np.arange(nnz, dtype=np.int32)
     k_lo32 = (feat_hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)) \
         .astype(np.uint32)
     out = np.empty((ndocs, sample_size, 2), dtype=np.uint32)
@@ -142,9 +154,15 @@ def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
         rs_u, ln_cs_u, betas_u = _params_chunk(uniq, c0, c1, seed)
         r = rs_u[:, inv]          # (C, nnz)
         b = betas_u[:, inv]
-        lc = ln_cs_u[:, inv]
-        t = np.floor(vlog[None, :] / r + b)
-        ln_a = lc - (t - b) * r - r
+        # in-place arithmetic: these (C, nnz) temporaries dominate memory
+        # traffic, which is what throttles concurrent executor kernels
+        t = vlog[None, :] / r
+        t += b
+        np.floor(t, out=t)
+        ln_a = t - b
+        ln_a *= r
+        np.subtract(ln_cs_u[:, inv], ln_a, out=ln_a)
+        ln_a -= r
         mins = np.minimum.reduceat(ln_a, starts, axis=1)       # (C, ndocs)
         is_min = ln_a == mins[:, doc_of_row]
         cand = np.where(is_min, row_ids[None, :], nnz)
@@ -164,15 +182,15 @@ def _params_chunk(uniq_hashes: np.ndarray, c0: int, c1: int,
     i = np.arange(c0, c1, dtype=np.uint64)[:, None]
     ctr = (h[None, :] ^ base) + (i * np.uint64(_DRAWS)) * _PHI
 
-    def u(j: int) -> np.ndarray:
-        off = np.uint64((j * int(_M2)) & 0xFFFFFFFFFFFFFFFF)
-        return _uniform(ctr + off)
-
-    rs = -(np.log(u(0)) + np.log(u(1)))
-    ln_cs = np.log(-(np.log(u(2)) + np.log(u(3))))
-    betas = u(4)
-    return (rs.astype(np.float32), ln_cs.astype(np.float32),
-            betas.astype(np.float32))
+    # 3 hash rounds yield 6 32-bit uniforms (2 per 64-bit hash); all math in
+    # float32 (the output dtype anyway — hasher.py:80-87 params are float32).
+    u0, u1 = _two_uniforms(splitmix64(ctr))
+    u2, u3 = _two_uniforms(splitmix64(ctr + _M1))
+    betas, _ = _two_uniforms(splitmix64(ctr + _M2))
+    # Gamma(2,1) = -ln(u1*u2); one log of the product, not two logs
+    rs = -np.log(u0 * u1)
+    ln_cs = np.log(-np.log(u2 * u3))
+    return rs, ln_cs, betas
 
 
 def pack_signature(sig: np.ndarray) -> bytes:

@@ -97,12 +97,19 @@ def decode_features(images: DataFrame) -> DataFrame:
         for pdf in it:
             rows = {k: [] for k in
                     ("image_id", "w", "h", "mean_px", "std_px", "decoder")}
+            from apollo_spark.functions import codecs
             for rid, raw, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
                                            pdf["w"], pdf["h"], pdf["fmt"]):
-                if _HAVE_PIL and fmt in ("png", "jpeg"):  # pragma: no cover
-                    import io
+                raw = bytes(raw)
+                if _HAVE_PIL and fmt in ("png", "jpeg") \
+                        and not raw.startswith(codecs.MAGIC):
+                    import io  # pragma: no cover
                     px = np.asarray(Image.open(io.BytesIO(raw)).convert("L"))
                     dec = "pil"
+                elif raw.startswith(codecs.MAGIC):
+                    # real decode of the deterministic container format
+                    px = codecs.decode(raw).mean(axis=2)
+                    dec = "asim"
                 else:
                     px = _fake_decode(raw, int(w), int(h))
                     dec = "stub"

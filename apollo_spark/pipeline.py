@@ -29,18 +29,19 @@ from apollo_spark.stages import candidates, cc as cc_stage, evalcc, hashst
 def run_pipeline(spark: SparkSession, images: DataFrame,
                  cfg: PipelineConfig, out_dir: str,
                  extensions: bool = True,
-                 evaluate: bool = False) -> dict:
+                 evaluate: bool = False,
+                 refine: bool = False) -> dict:
     """Returns {stage_name: DataFrame} of all checkpointed outputs."""
     cat = CheckpointCatalog(spark, out_dir, cfg)
     out: dict[str, DataFrame] = {}
     timings: dict[str, float] = {}
 
-    def stage(name: str, build):
+    def stage(name: str, build, partition_by: list[str] | None = None):
         t0 = time.time()
         if cat.is_complete(name):
             out[name] = cat.load(name)
         else:
-            out[name] = cat.write(name, build())
+            out[name] = cat.write(name, build(), partition_by=partition_by)
         timings[name] = time.time() - t0
         return out[name]
 
@@ -48,7 +49,10 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     stage("bags", lambda: bags_stage.tfidf_bags(
         bags_stage.extract_features(images, cfg), ndocs, cfg))
     stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
-    stage("bands", lambda: hashst.bands(out["signatures"], cfg))
+    # partitioned by hashtable (O7 physical design): interactive band
+    # probes prune to the b matching partitions instead of a full scan
+    stage("bands", lambda: hashst.bands(out["signatures"], cfg),
+          partition_by=["hashtable"])
 
     cc_input = out["bands"]
     if extensions:
@@ -60,9 +64,14 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
                         out["simhash_pairs"]))
                     .unionByName(out["substring_membership"]))
 
+    cc_in = cc_input
     stage("cc", lambda: cc_stage.connected_components(
-        cc_input, cfg, all_ids=images))
+        cc_in, cfg, all_ids=images))
     stage("clusters", lambda: cc_stage.clusters(out["cc"]))
+    if refine:
+        from apollo_spark.stages import refine as refine_stage
+        stage("clusters_refined", lambda: refine_stage.refine_components(
+            out["cc"], cc_in, cfg))
 
     if evaluate:
         stage("cluster_eval", lambda: evalcc.evaluate(
@@ -84,6 +93,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=DEFAULT.seed)
     ap.add_argument("--no-extensions", action="store_true")
     ap.add_argument("--evaluate", action="store_true")
+    ap.add_argument("--refine", action="store_true",
+                    help="per-component label-propagation refinement of "
+                         "fat CCs (the reference's cmd stage)")
     args = ap.parse_args(argv)
 
     from apollo_spark.session import get_spark
@@ -104,7 +116,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     out = run_pipeline(spark, images, cfg, args.out,
                        extensions=not args.no_extensions,
-                       evaluate=args.evaluate)
+                       evaluate=args.evaluate, refine=args.refine)
     wall = time.time() - t0
     n = images.count()
     summary = {

@@ -97,6 +97,26 @@ def tfidf_bags(features: DataFrame, ndocs: int,
             .filter(F.col("weight") > 0))
 
 
+def tfidf_with_vocab(features: DataFrame, df_table: DataFrame, ndocs: int,
+                     cfg: PipelineConfig) -> DataFrame:
+    """TF-IDF for NEW docs against a saved corpus vocabulary — the query
+    path (H8): the reference hashes a single file over the stored
+    OrderedDocumentFrequencies model (hasher.py:208-234, query.py:47-56).
+    ``df_table`` is the corpus docfreq checkpoint (feat_hash, df); features
+    absent from the vocabulary drop, exactly as the reference's bag is
+    built only over known vocab indices."""
+    mult = (F.when(F.col("ns") == NS_PHASH, F.lit(float(cfg.phash_weight)))
+            .otherwise(F.lit(float(cfg.caption_weight))))
+    weight = (F.log1p(F.col("tf").cast("double"))
+              * F.log(F.lit(float(ndocs)) / F.col("df").cast("double"))
+              * mult).cast("float").alias("weight")
+    # the query side is tiny (one or a few docs) — broadcast it so the big
+    # vocabulary table never shuffles
+    return (features.hint("broadcast").join(df_table, "feat_hash")
+            .select("image_id", "feat_hash", weight)
+            .filter(F.col("weight") > 0))
+
+
 def run(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ndocs = images.count()
     return tfidf_bags(extract_features(images, cfg), ndocs, cfg)

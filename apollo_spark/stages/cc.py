@@ -6,26 +6,29 @@ bipartite doc<->bucket graph, expressed purely as joins/aggregations so it
 shards across executors (the north_rule's "iterative connected-components
 expressed as DataFrame self-joins"):
 
-  label(doc)   <- min(label over docs sharing any of its buckets)
-  (one round = groupBy bucket min + join back + groupBy doc min)
+  1. contract every multi-member bucket to star edges (doc -> bucket's min
+     doc) in ONE pass over the membership table;
+  2. min-label propagation over that edge list until fixpoint
+     (one round = edge join + groupBy min + label join).
 
 Converges in O(component diameter) rounds — near-dup components are shallow.
 Scale devices:
-  * singleton buckets pruned up front (the overwhelming majority at low
-    collision rates) — docs only ever shuffle with genuinely co-bucketed docs;
+  * singleton buckets (the overwhelming majority at low collision rates)
+    emit no edges, so their docs never enter the loop at all; the loop's
+    working set is |dup edges|, not |memberships|;
   * each round ends in localCheckpoint() to truncate lineage (the classic
     iterative-join pitfall);
   * bucket keys stay composite (hashtable, band) — exact, no hash-collision
     false merges at 10^12 scale;
   * AQE handles hot (hashtable, band) skew; pair *materialization* is the
-    only quadratic step and is capped/salted in stages/pairs.py.
+    only quadratic step and is capped (bucket_pair_cap) before any
+    quadratic join.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from apollo_spark.config import PipelineConfig
 
@@ -39,45 +42,70 @@ def multi_member_bands(bands: DataFrame) -> DataFrame:
             .select("image_id", "hashtable", "band"))
 
 
+def star_edges(bands: DataFrame) -> DataFrame:
+    """Contract each multi-member bucket to star edges (image_id, rep) with
+    rep = min image_id of the bucket. One groupBy + one join over the
+    membership table, done ONCE — connectivity is preserved (any two
+    co-bucketed docs reach each other through the bucket's rep, itself a
+    doc), and the fixpoint then iterates over |dup edges| rows instead of
+    re-shuffling every membership row every round. Docs whose buckets are
+    all singletons emit nothing and drop out immediately (at web scale
+    that's most of the corpus)."""
+    stats = (bands.groupBy("hashtable", "band")
+             .agg(F.min("image_id").alias("rep"),
+                  F.count(F.lit(1)).alias("n")))
+    return (bands.join(stats.filter("n >= 2")
+                       .select("hashtable", "band", "rep"),
+                       ["hashtable", "band"])
+            .select("image_id", "rep")
+            .filter(F.col("image_id") != F.col("rep"))
+            .distinct())
+
+
 def connected_components(bands: DataFrame, cfg: PipelineConfig,
                          all_ids: DataFrame | None = None) -> DataFrame:
     """-> cc(image_id string, cc_id string) for every banded doc.
 
     cc_id = lexicographic min image_id of the component (stable, needs no
     dense relabeling — the reference's uint32 remapping, graph.py:29-46, is
-    a Cassandra artifact we drop). Docs in no multi-member bucket are
-    singleton components (cc_id = own id); pass ``all_ids`` to include docs
-    that produced no bands at all (empty bags).
-    """
-    memb = multi_member_bands(bands).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        labels = (memb.select("image_id").distinct()
-                  .withColumn("label", F.col("image_id"))
-                  .localCheckpoint())
-        for _ in range(cfg.max_cc_iterations):
-            bucket_min = (memb.join(labels, "image_id")
-                          .groupBy("hashtable", "band")
-                          .agg(F.min("label").alias("blabel")))
-            new_labels = (memb.join(bucket_min, ["hashtable", "band"])
-                          .groupBy("image_id")
-                          .agg(F.min("blabel").alias("label"))
-                          .localCheckpoint())
-            changed = (new_labels.alias("n")
-                       .join(labels.withColumnRenamed("label", "old"),
-                             "image_id")
-                       .filter(F.col("label") != F.col("old")).count())
-            labels = new_labels
-            if changed == 0:
-                break
-        cc = labels.withColumnRenamed("label", "cc_id")
-        if all_ids is not None:
-            singletons = (all_ids.select("image_id")
-                          .join(cc.select("image_id"), "image_id", "left_anti")
-                          .withColumn("cc_id", F.col("image_id")))
-            cc = cc.unionByName(singletons)
-        return cc
-    finally:
-        memb.unpersist()
+    a Cassandra artifact we drop). Min-label propagation over the
+    bucket-contracted star-edge graph; each round ends in localCheckpoint()
+    to truncate lineage. Docs in no multi-member bucket are singleton
+    components (cc_id = own id); pass ``all_ids`` to include docs that
+    produced no bands at all (empty bags)."""
+    edges = star_edges(bands).localCheckpoint()
+    fwd = edges.select(F.col("image_id").alias("src"),
+                       F.col("rep").alias("dst"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (edges.select("image_id")
+              .unionByName(edges.select(F.col("rep").alias("image_id")))
+              .distinct()
+              .withColumn("label", F.col("image_id"))
+              .localCheckpoint())
+    for _ in range(cfg.max_cc_iterations):
+        prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
+                .groupBy(F.col("dst").alias("image_id"))
+                .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(prop, "image_id", "left")
+                      .select("image_id",
+                              F.least("label", F.coalesce("nlabel", "label"))
+                              .alias("new_label"),
+                              F.col("label").alias("old"))
+                      .localCheckpoint())
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old")).count()
+        labels = new_labels.select(
+            "image_id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    cc = labels.withColumnRenamed("label", "cc_id")
+    if all_ids is not None:
+        singletons = (all_ids.select("image_id")
+                      .join(cc.select("image_id"), "image_id", "left_anti")
+                      .withColumn("cc_id", F.col("image_id")))
+        cc = cc.unionByName(singletons)
+    return cc
 
 
 def component_sizes(cc: DataFrame) -> DataFrame:

@@ -56,3 +56,46 @@ def query(bands: DataFrame, bags: DataFrame, query_id: str,
     """Full probe + precise re-rank (the reference's --precise mode)."""
     return weighted_jaccard_rerank(
         bags, probe_candidates(bands, query_id), query_id, threshold)
+
+
+def query_image(image: DataFrame, df_table: DataFrame, ndocs: int,
+                bands: DataFrame, bags: DataFrame, cfg,
+                threshold: float | None = None) -> DataFrame:
+    """Query by a NEW image not in the corpus — the reference's file mode
+    (query.py:22-36 + hasher.py:208-234: parse one file, bag it over the
+    saved docfreq model, CPU-hash, slice bands, probe).
+
+    ``image`` is a 1-row DataFrame in the images schema. Its features are
+    weighted against the saved vocabulary (tfidf_with_vocab), hashed by the
+    same WMH kernel, banded, and probed against the corpus ``bands`` with a
+    broadcast semi-join; candidates re-rank by sparse weighted Jaccard
+    against the corpus ``bags``. Everything stays distributed except the
+    1-row query side, which is broadcast."""
+    from apollo_spark.stages import bags as bags_stage
+    from apollo_spark.stages import hashst
+
+    qfeats = bags_stage.extract_features(image, cfg)
+    qbags = bags_stage.tfidf_with_vocab(qfeats, df_table, ndocs, cfg) \
+        .localCheckpoint()
+    _, qbands = hashst.run(qbags, cfg)
+    qid = image.first()["image_id"]
+    cands = (bands.join(F.broadcast(qbands.select("hashtable", "band")),
+                        ["hashtable", "band"], "left_semi")
+             .select("image_id").distinct()
+             .filter(F.col("image_id") != qid))
+    qbag = qbags.select("feat_hash", F.col("weight").alias("wq"))
+    qsum = qbag.agg(F.sum("wq").alias("Wq"))
+    cbags = bags.join(cands.hint("broadcast"), "image_id")
+    inter = (cbags.join(F.broadcast(qbag), "feat_hash")
+             .groupBy("image_id")
+             .agg(F.sum(F.least("weight", "wq")).alias("inter_min")))
+    csums = cbags.groupBy("image_id").agg(F.sum("weight").alias("Wc"))
+    sim = (csums.join(inter, "image_id", "left")
+           .crossJoin(F.broadcast(qsum))
+           .select("image_id",
+                   (F.coalesce("inter_min", F.lit(0.0))
+                    / (F.col("Wc") + F.col("Wq")
+                       - F.coalesce("inter_min", F.lit(0.0)))).alias("sim")))
+    if threshold is not None:
+        sim = sim.filter(F.col("sim") >= threshold)
+    return sim.orderBy(F.desc("sim"))

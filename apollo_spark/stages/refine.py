@@ -1,0 +1,118 @@
+"""refine stage: per-component community refinement of fat CCs.
+
+The reference routes connected components by size (graph.py:213-219): size-1
+dropped, size-2 kept as-is, size >= 3 ("fat") refined by igraph community
+detection (walktrap by default, graph.py:272-297) over the doc<->bucket
+bipartite subgraph with bucket-size edge weights (graph.py:221-253). The
+north_rule replaces igraph with DataFrame-native clustering: this stage is
+the refinement half — weighted label propagation (the reference exposes
+igraph's community_label_propagation as one of its algorithms,
+graph.py:277-289) inside a grouped applyInPandas kernel, one group per fat
+component.
+
+LSH transitive chaining is the failure mode this corrects: A~B and B~C can
+co-bucket without A~C; CC alone would keep {A,B,C} together. Label
+propagation over shared-bucket weights splits weakly-bridged agglomerates
+while leaving genuine cliques intact.
+
+Scale shape: components are small by construction (bucket caps bound the
+quadratic growth upstream), so per-group kernels are tiny; the only shuffle
+is the groupBy(cc_id). Refined ids remain stable strings:
+``<cc_id>#<min member id>``. Dup-pair recall is measured on the CC level
+(a superset of any refinement), so refinement cannot cost recall — it
+sharpens reported clusters, mirroring the reference's cc -> cmd split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apollo_spark.config import PipelineConfig
+
+REFINE_SCHEMA = "image_id string, cluster_id string"
+
+
+def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
+    """Deterministic asynchronous LPA on one component.
+
+    Nodes = docs; edge weight = number of shared buckets (the bipartite
+    incidence squared, the same weighting the reference's linear mode feeds
+    igraph, graph.py:222-233). Updates sweep docs in sorted-id order; ties
+    break toward the smallest label; converged when a full sweep changes
+    nothing."""
+    cc_id = str(pdf["cc_id"].iloc[0])
+    docs = np.sort(pdf["image_id"].unique())
+    n = len(docs)
+    if n <= 2:
+        return pd.DataFrame({"image_id": docs,
+                             "cluster_id": [cc_id] * n})
+    doc_ix = {d: i for i, d in enumerate(docs)}
+    # bucket keys stay (int, bytes) tuples — the band column is an opaque
+    # binary blob, never valid UTF-8, so no string conversion
+    b_ix: dict[tuple[int, bytes], int] = {}
+    di, bi = [], []
+    for d, ht, band in zip(pdf["image_id"], pdf["hashtable"], pdf["band"]):
+        j = b_ix.setdefault((int(ht), bytes(band)), len(b_ix))
+        di.append(doc_ix[d])
+        bi.append(j)
+    inc = np.zeros((n, len(b_ix)), dtype=np.float32)
+    inc[di, bi] = 1.0
+    adj = inc @ inc.T            # shared-bucket counts
+    np.fill_diagonal(adj, 0.0)
+
+    labels = np.arange(n)
+    for _ in range(rounds):
+        changed = False
+        for i in range(n):
+            w = np.bincount(labels, weights=adj[i], minlength=n)
+            best = int(np.flatnonzero(w == w.max())[0])  # min-label tie-break
+            if w[best] > 0 and labels[i] != best:
+                labels[i] = best
+                changed = True
+        if not changed:
+            break
+    reps = {}
+    for i in range(n):
+        reps.setdefault(labels[i], docs[i])  # docs sorted -> min member id
+    return pd.DataFrame({
+        "image_id": docs,
+        "cluster_id": [f"{cc_id}#{reps[labels[i]]}" for i in range(n)],
+    })
+
+
+def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
+                      min_size: int = 3, rounds: int = 5,
+                      max_kernel_size: int = 20_000) -> DataFrame:
+    """cc(image_id, cc_id) x memb(image_id, hashtable, band) ->
+    (image_id, cluster_id); fat components refined, size-2 passed through,
+    singletons dropped (graph.py:213-219 triage).
+
+    Skew guard: applyInPandas assigns ONE task per group, so a pathological
+    mega-component (hot-bucket chaining) would pin a straggler executor and
+    blow its memory on the dense n x buckets incidence. Components larger
+    than ``max_kernel_size`` bypass the kernel and keep their CC id — the
+    same linear-mode escape hatch the reference flips to when quadratic
+    edge generation explodes (graph.py:209-249, __main__.py:170-175)."""
+    sizes = cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs_only = (cc.join(sizes.filter("n = 2"), "cc_id")
+                  .select("image_id", F.col("cc_id").alias("cluster_id")))
+    giants = (cc.join(sizes.filter(f"n > {max_kernel_size}"), "cc_id")
+              .select("image_id", F.col("cc_id").alias("cluster_id")))
+    fat = cc.join(sizes.filter(
+        f"n >= {max(min_size, 3)} AND n <= {max_kernel_size}"), "cc_id")
+    sub = (fat.join(memb, "image_id")
+           .select("cc_id", "image_id", "hashtable", "band"))
+
+    def kernel(key, pdf):
+        return _label_propagation(pdf, rounds)
+
+    refined = sub.groupBy("cc_id").applyInPandas(kernel, REFINE_SCHEMA)
+    # fat-component members with no membership rows (possible only when cc
+    # came from extension edges whose memb was not passed in) stay whole
+    leftover = (fat.join(refined.select("image_id"), "image_id", "left_anti")
+                .select("image_id", F.col("cc_id").alias("cluster_id")))
+    return (refined.unionByName(pairs_only).unionByName(leftover)
+            .unionByName(giants))

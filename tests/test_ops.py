@@ -183,7 +183,8 @@ class TestMultimodal:
         b = multimodal.decode_features(sub).toPandas() \
             .sort_values("image_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
-        assert (a["decoder"] == "stub").all()
+        # synthetic corpus carries ASIM containers -> real decode path
+        assert (a["decoder"] == "asim").all()
         assert (a["w"] > 0).all() and (a["std_px"] >= 0).all()
 
     def test_psnr(self):

@@ -152,6 +152,78 @@ class TestQuery:
         res = query_st.query(bands, bags, qid)
         assert res.filter("sim < 0 or sim > 1").count() == 0
 
+    def test_query_by_new_image(self, spark, images, bags, bands, cfg,
+                                corpus_pdf):
+        """H8 file-mode query: a NEW image identical to a corpus row must
+        find that row at sim ~ 1 via the saved-vocabulary path."""
+        src = corpus_pdf.iloc[[0]].drop(columns=["gt_cluster"]) \
+            .assign(image_id="query-new")
+        qrow = spark.createDataFrame(src)
+        df_table = bags_st.docfreq(bags_st.extract_features(images, cfg))
+        res = query_st.query_image(qrow, df_table, images.count(),
+                                   bands, bags, cfg)
+        top = res.first()
+        assert top is not None
+        assert top["image_id"] == corpus_pdf.iloc[0]["image_id"]
+        assert top["sim"] > 0.999
+
+
+class TestReport:
+    def test_render_reports_and_dumps(self, spark, cc):
+        from apollo_spark import report
+        cl = cc_st.clusters(cc)
+        md = report.render_cluster_report(cl)
+        assert md.startswith("# Duplicate clusters")
+        assert "members)" in md
+        hits = spark.createDataFrame([("a", 0.9), ("b", 0.5)],
+                                     ["image_id", "sim"])
+        md2 = report.render_query_report("q0", hits)
+        assert md2.index("`a`") < md2.index("`b`")
+        assert report.dump_cc(cc).count() == cc.count()
+
+
+class TestRefine:
+    @staticmethod
+    def _memb(spark, rows):
+        return spark.createDataFrame(
+            [(d, ht, bytes(b, "utf-8")) for d, ht, b in rows],
+            "image_id string, hashtable int, band binary")
+
+    def test_weak_bridge_split(self, spark, cfg):
+        """Two tight cliques joined by one shared bucket: CC = one
+        component; refinement splits it (the LSH chaining fix)."""
+        from apollo_spark.stages import refine
+        rows = []
+        for g, members in (("a", ["a1", "a2", "a3"]),
+                           ("b", ["b1", "b2", "b3"])):
+            for k in range(3):  # 3 buckets fully shared within the clique
+                rows += [(m, 0, f"{g}{k}") for m in members]
+        rows += [("a3", 0, "bridge"), ("b1", 0, "bridge")]
+        memb = self._memb(spark, rows)
+        cc = cc_st.connected_components(memb, cfg)
+        assert cc.select("cc_id").distinct().count() == 1
+        refined = refine.refine_components(cc, memb, cfg)
+        by_cluster = {r["image_id"]: r["cluster_id"]
+                      for r in refined.collect()}
+        assert len(set(by_cluster.values())) == 2
+        assert by_cluster["a1"] == by_cluster["a3"]
+        assert by_cluster["b1"] == by_cluster["b3"]
+        assert by_cluster["a3"] != by_cluster["b1"]
+
+    def test_clique_intact_and_pair_passthrough(self, spark, cfg):
+        from apollo_spark.stages import refine
+        rows = [(m, 0, f"c{k}") for k in range(3)
+                for m in ["x1", "x2", "x3", "x4"]]
+        rows += [("p1", 0, "pb"), ("p2", 0, "pb")]
+        memb = self._memb(spark, rows)
+        cc = cc_st.connected_components(memb, cfg)
+        refined = refine.refine_components(cc, memb, cfg)
+        by_cluster = {r["image_id"]: r["cluster_id"]
+                      for r in refined.collect()}
+        assert len({by_cluster[m] for m in ["x1", "x2", "x3", "x4"]}) == 1
+        assert by_cluster["p1"] == by_cluster["p2"]
+        assert by_cluster["p1"] != by_cluster["x1"]
+
 
 class TestEval:
     def test_cluster_eval_metrics(self, cc, bags, cfg):
@@ -191,6 +263,11 @@ class TestPipeline:
         # per-partition lineage metrics recorded
         from apollo_spark.checkpoint import CheckpointCatalog
         cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        # S7 resetdb analogue: partial reset invalidates only that stage
+        assert cat.is_complete("clusters")
+        cat.reset(["clusters"])
+        assert not cat.is_complete("clusters")
+        assert cat.is_complete("bands")
         mdf = cat.metrics()
         assert mdf.filter("stage = 'bags'").count() > 0
 
