@@ -81,6 +81,12 @@ def tfidf_bags(features: DataFrame, ndocs: int,
     every doc) are dropped, mirroring the dense path where zero weights are
     excluded from argmin (hasher.py:244-247).
     """
+    # features feeds two consumers (the df aggregation and the weight
+    # join) — without this persist the extraction UDF runs twice per
+    # pipeline (SURVEY.md O5; confirmed by plan audit: two parquet scans +
+    # two MapInPandas in the unpersisted plan)
+    from pyspark.storagelevel import StorageLevel
+    features = features.persist(StorageLevel.MEMORY_AND_DISK)
     df_tab = docfreq(features).filter(F.col("df") >= cfg.min_docfreq)
     if cfg.vocabulary_size < 2 ** 62:
         n_vocab = df_tab.count()
