@@ -65,21 +65,52 @@ class CheckpointCatalog:
 
     # -- table io ----------------------------------------------------------
     def write(self, stage: str, df: DataFrame,
-              partition_by: list[str] | None = None) -> DataFrame:
-        """Write a stage table + metrics, mark complete, return re-read df."""
+              partition_by: list[str] | None = None,
+              info: dict | None = None) -> DataFrame:
+        """Write a stage table + metrics, mark complete, return re-read df.
+        ``info`` carries small scalars (e.g. the corpus ndocs alongside the
+        vocab table) into the manifest entry."""
         t0 = time.time()
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(stage))
         out = self.load(stage)
-        self._record_metrics(stage, out, time.time() - t0)
+        self._record_metrics(stage, time.time() - t0)
         m = self._manifest()
         if m.get("config_fp") != self.config_fp:
             m = {"config_fp": self.config_fp, "stages": {}}
-        m["stages"][stage] = {"ts": time.time(), "path": self.path(stage)}
+        entry = {"ts": time.time(), "path": self.path(stage)}
+        if info:
+            entry.update(info)
+        m["stages"][stage] = entry
         self._save_manifest(m)
         return out
+
+    def append(self, stage: str, df: DataFrame,
+               partition_by: list[str] | None = None,
+               info: dict | None = None) -> DataFrame:
+        """Append a delta to an existing stage table (incremental runs —
+        the reference's append-mode Cassandra writes, bags.py:23,
+        hasher.py:186-201). Metrics record the delta's partitions only."""
+        t0 = time.time()
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(stage))
+        self._record_metrics(stage, time.time() - t0)
+        m = self._manifest()
+        entry = m["stages"].setdefault(
+            stage, {"path": self.path(stage)})
+        entry["ts"] = time.time()
+        entry["appends"] = int(entry.get("appends", 0)) + 1
+        if info:
+            entry.update(info)
+        self._save_manifest(m)
+        return self.load(stage)
+
+    def stage_info(self, stage: str) -> dict:
+        return dict(self._manifest()["stages"].get(stage) or {})
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage))
@@ -96,8 +127,7 @@ class CheckpointCatalog:
         self._save_manifest(m)
 
     # -- lineage + metrics ---------------------------------------------------
-    def _record_metrics(self, stage: str, df: DataFrame,
-                        wall_s: float) -> None:
+    def _record_metrics(self, stage: str, wall_s: float) -> None:
         """Per-partition lineage: (stage, partition_id, rows, bytes) + stage
         wall time, appended to <root>/metrics.
 
@@ -111,7 +141,9 @@ class CheckpointCatalog:
         import pyarrow.parquet as pq
 
         rows = []
-        files = sorted(glob.glob(os.path.join(self.path(stage), "*.parquet")))
+        files = sorted(glob.glob(
+            os.path.join(self.path(stage), "**", "*.parquet"),
+            recursive=True))
         for i, f in enumerate(files):
             md = pq.ParquetFile(f).metadata
             rows.append((stage, i, md.num_rows, os.path.getsize(f),

@@ -1,0 +1,68 @@
+"""Incremental append: extend an existing checkpointed dedup run with a
+delta of new images without recomputing the corpus.
+
+The reference's incrementality surface (SURVEY.md §2.9) is append-mode
+Cassandra writes (bags.py:23, hasher.py:186-201), hashes-only resetdb
+(cassandra_utils.py:66,78-81), deferred WMH-parameter reuse
+(hasher.py:159-166) and cached-index subset processing
+(__main__.py:95-110). The Spark-native equivalent:
+
+  1. weight the delta's features against the FROZEN vocab checkpoint
+     (doc/model/wmh.md:14-17 — signatures are only comparable when the
+     model is reused; df drift is accepted exactly as the reference
+     accepts it between bags runs);
+  2. WMH-hash and band the delta only (params regenerate from the seed —
+     nothing to load);
+  3. append bags/signatures/bands deltas to the stage tables;
+  4. invalidate and recompute only the cheap global stages (candidate
+     extension passes, CC, clusters) — CC warm-starts are unnecessary
+     because the fixpoint's working set is |dup edges|, not the corpus.
+
+Cost per delta: O(|delta|) extraction+hashing + one CC over dup edges —
+vs O(|corpus|) for a full rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apollo_spark.checkpoint import CheckpointCatalog
+from apollo_spark.config import PipelineConfig
+from apollo_spark.stages import bags as bags_stage
+from apollo_spark.stages import hashst
+
+DERIVED_STAGES = ["simhash_pairs", "substring_membership", "cc", "clusters",
+                  "clusters_refined", "cluster_eval"]
+
+
+def append_images(spark: SparkSession, all_images: DataFrame,
+                  new_images: DataFrame, cfg: PipelineConfig,
+                  out_dir: str, extensions: bool = True,
+                  refine: bool = False, evaluate: bool = False) -> dict:
+    """Append ``new_images`` to the run checkpointed at ``out_dir``.
+
+    ``all_images`` must be the full corpus INCLUDING the delta (the
+    extension candidate passes and singleton accounting scan it once).
+    Returns the same {stage: DataFrame} dict as run_pipeline.
+    """
+    cat = CheckpointCatalog(spark, out_dir, cfg)
+    if not cat.is_complete("vocab") or not cat.is_complete("bands"):
+        raise ValueError(f"no completed base run at {out_dir}")
+    vocab = cat.load("vocab")
+    ndocs = int(cat.stage_info("vocab")["ndocs"])
+
+    feats = bags_stage.extract_features(new_images, cfg)
+    delta_bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg) \
+        .localCheckpoint()
+    cat.append("bags", delta_bags)
+    delta_sigs = hashst.signatures(delta_bags, cfg).localCheckpoint()
+    cat.append("signatures", delta_sigs)
+    cat.append("bands", hashst.bands(delta_sigs, cfg),
+               partition_by=["hashtable"])
+
+    # global stages derive from the (now extended) bands — rebuild them
+    cat.reset([s for s in DERIVED_STAGES])
+    from apollo_spark.pipeline import run_pipeline
+    return run_pipeline(spark, all_images, cfg, out_dir,
+                        extensions=extensions, refine=refine,
+                        evaluate=evaluate)

@@ -36,18 +36,30 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     out: dict[str, DataFrame] = {}
     timings: dict[str, float] = {}
 
-    def stage(name: str, build, partition_by: list[str] | None = None):
+    def stage(name: str, build, partition_by: list[str] | None = None,
+              info: dict | None = None):
         t0 = time.time()
         if cat.is_complete(name):
             out[name] = cat.load(name)
         else:
-            out[name] = cat.write(name, build(), partition_by=partition_by)
+            out[name] = cat.write(name, build(), partition_by=partition_by,
+                                  info=info)
         timings[name] = time.time() - t0
         return out[name]
 
     ndocs = images.count()
-    stage("bags", lambda: bags_stage.tfidf_bags(
-        bags_stage.extract_features(images, cfg), ndocs, cfg))
+    # extraction feeds both the vocab agg and the weight join — persist so
+    # the UDF runs once (unpersisted after the bags checkpoint lands)
+    from pyspark.storagelevel import StorageLevel
+    feats = bags_stage.extract_features(images, cfg) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the frozen vocabulary (docfreq model analogue) — incremental appends
+    # and interactive queries weight new docs against THIS table
+    stage("vocab", lambda: bags_stage.vocab_table(feats, cfg),
+          info={"ndocs": ndocs})
+    stage("bags", lambda: bags_stage.weight_bags(
+        feats, out["vocab"], ndocs, cfg))
+    feats.unpersist()
     stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
     # partitioned by hashtable (O7 physical design): interactive band
     # probes prune to the b matching partitions instead of a full scan

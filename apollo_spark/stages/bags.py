@@ -72,55 +72,62 @@ def docfreq(features: DataFrame) -> DataFrame:
     return features.groupBy("feat_hash").agg(F.count(F.lit(1)).alias("df"))
 
 
-def tfidf_bags(features: DataFrame, ndocs: int,
-               cfg: PipelineConfig) -> DataFrame:
-    """Attach df, prune vocabulary, weight: -> (image_id, feat_hash, weight).
-
-    min-docfreq prune = P4, vocabulary cap = P6, log-tf-log-idf = the
-    reference's weighting (hasher.py:227); weight <= 0 rows (features in
-    every doc) are dropped, mirroring the dense path where zero weights are
-    excluded from argmin (hasher.py:244-247).
-    """
-    # features feeds two consumers (the df aggregation and the weight
-    # join) — without this persist the extraction UDF runs twice per
-    # pipeline (SURVEY.md O5; confirmed by plan audit: two parquet scans +
-    # two MapInPandas in the unpersisted plan)
-    from pyspark.storagelevel import StorageLevel
-    features = features.persist(StorageLevel.MEMORY_AND_DISK)
+def vocab_table(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The saved vocabulary: df per feature, min-docfreq pruned (P4) and
+    capped to the top-N by document frequency (P6) — the relational twin
+    of the reference's OrderedDocumentFrequencies model (hasher.py:116-117,
+    doc/cmd/bags.md:13-15). Checkpointed so the query path and incremental
+    appends weight against the SAME frozen vocabulary (doc/model/wmh.md:14-17
+    reuse contract)."""
     df_tab = docfreq(features).filter(F.col("df") >= cfg.min_docfreq)
     if cfg.vocabulary_size < 2 ** 62:
         n_vocab = df_tab.count()
         if n_vocab > cfg.vocabulary_size:
             df_tab = (df_tab.orderBy(F.desc("df"), F.asc("feat_hash"))
                       .limit(cfg.vocabulary_size))
+    return df_tab
+
+
+def weight_bags(features: DataFrame, df_table: DataFrame, ndocs: int,
+                cfg: PipelineConfig) -> DataFrame:
+    """Join the vocabulary and weight: -> (image_id, feat_hash, weight).
+
+    log-tf-log-idf = the reference's weighting (hasher.py:227) with
+    per-namespace multipliers (hasher.py:102-131); weight <= 0 rows
+    (features in every doc) drop, mirroring the dense path where zero
+    weights never win the argmin (hasher.py:244-247). Features absent
+    from the vocabulary drop (P4/P6 pruning)."""
     mult = (F.when(F.col("ns") == NS_PHASH, F.lit(float(cfg.phash_weight)))
             .otherwise(F.lit(float(cfg.caption_weight))))
     weight = (F.log1p(F.col("tf").cast("double"))
               * F.log(F.lit(float(ndocs)) / F.col("df").cast("double"))
               * mult).cast("float").alias("weight")
-    return (features.join(df_tab, "feat_hash")
+    return (features.join(df_table, "feat_hash")
             .select("image_id", "feat_hash", weight)
             .filter(F.col("weight") > 0))
+
+
+def tfidf_bags(features: DataFrame, ndocs: int,
+               cfg: PipelineConfig) -> DataFrame:
+    """Attach df, prune vocabulary, weight: -> (image_id, feat_hash, weight).
+    Composition of vocab_table + weight_bags for single-shot runs."""
+    # features feeds two consumers (the df aggregation and the weight
+    # join) — without this persist the extraction UDF runs twice per
+    # pipeline (SURVEY.md O5; confirmed by plan audit: two parquet scans +
+    # two MapInPandas in the unpersisted plan)
+    from pyspark.storagelevel import StorageLevel
+    features = features.persist(StorageLevel.MEMORY_AND_DISK)
+    return weight_bags(features, vocab_table(features, cfg), ndocs, cfg)
 
 
 def tfidf_with_vocab(features: DataFrame, df_table: DataFrame, ndocs: int,
                      cfg: PipelineConfig) -> DataFrame:
-    """TF-IDF for NEW docs against a saved corpus vocabulary — the query
-    path (H8): the reference hashes a single file over the stored
-    OrderedDocumentFrequencies model (hasher.py:208-234, query.py:47-56).
-    ``df_table`` is the corpus docfreq checkpoint (feat_hash, df); features
-    absent from the vocabulary drop, exactly as the reference's bag is
-    built only over known vocab indices."""
-    mult = (F.when(F.col("ns") == NS_PHASH, F.lit(float(cfg.phash_weight)))
-            .otherwise(F.lit(float(cfg.caption_weight))))
-    weight = (F.log1p(F.col("tf").cast("double"))
-              * F.log(F.lit(float(ndocs)) / F.col("df").cast("double"))
-              * mult).cast("float").alias("weight")
-    # the query side is tiny (one or a few docs) — broadcast it so the big
-    # vocabulary table never shuffles
-    return (features.hint("broadcast").join(df_table, "feat_hash")
-            .select("image_id", "feat_hash", weight)
-            .filter(F.col("weight") > 0))
+    """TF-IDF for NEW docs against a saved corpus vocabulary — the query /
+    incremental-append path (H8): the reference hashes new files over the
+    stored OrderedDocumentFrequencies model (hasher.py:208-234,
+    query.py:47-56). Alias of weight_bags; AQE broadcasts whichever side
+    is small (a 1-row query or a bounded delta)."""
+    return weight_bags(features, df_table, ndocs, cfg)
 
 
 def run(images: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -225,6 +225,38 @@ class TestRefine:
         assert by_cluster["p1"] != by_cluster["x1"]
 
 
+class TestIncremental:
+    def test_append_extends_clusters(self, spark, cfg, tmp_path):
+        """Base run on a prefix, append the rest: old dup pairs preserved
+        (CC is monotone in edges), cross-boundary planted dups found,
+        element conservation over the full corpus."""
+        from apollo_spark import synth
+        from apollo_spark.incremental import append_images
+        from apollo_spark.pipeline import run_pipeline
+        pdf = synth.gen_corpus(300, seed=7)
+        # split INSIDE a planted cluster so a dup pair spans the boundary
+        gt = pdf["gt_cluster"].to_numpy()
+        k = next(i for i in range(150, 290) if gt[i - 1] == gt[i])
+        base_pdf, delta_pdf = pdf.iloc[:k], pdf.iloc[k:]
+        base = spark.createDataFrame(base_pdf.drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(delta_pdf.drop(columns=["gt_cluster"]))
+        full = base.unionByName(delta)
+
+        out = run_pipeline(spark, base, cfg, str(tmp_path))
+        base_pairs = {(r["a"], r["b"])
+                      for r in cc_st.dup_pairs(out["cc"]).collect()}
+        res = append_images(spark, full, delta, cfg, str(tmp_path))
+        cc = res["cc"]
+        assert cc.count() == 300
+        assert cc.select("image_id").distinct().count() == 300
+        pairs = {(r["a"], r["b"]) for r in cc_st.dup_pairs(cc).collect()}
+        assert base_pairs <= pairs
+        base_ids = set(base_pdf["image_id"])
+        cross = [p for p in pairs
+                 if (p[0] in base_ids) != (p[1] in base_ids)]
+        assert cross, "no cross-boundary duplicate linked"
+
+
 class TestEval:
     def test_cluster_eval_metrics(self, cc, bags, cfg):
         cl = cc_st.clusters(cc)
