@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("hashtable").agg(F.count(F.lit(1)).alias("n_bands")))
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk(
         _emb(s, d), n_queries=20, k=5, nbits=6, ntables=16)
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _emb(s, d), n_queries=20, k=5, n_centroids=16, nprobe=4)
     q["simhash_phash_pairs"] = _simhash_phash_query
     q["decode_features"] = _decode_features_query
     return q

@@ -164,6 +164,97 @@ def lsh_bucketed(emb: DataFrame, nbits: int = 8, seed: int = 42,
         .mapInPandas(project, schema="vec_id long, table long, bucket long")
 
 
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
+                     iters: int = 5, seed: int = 42,
+                     sample: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Centroids train on a bounded id-range sample (first ``sample`` vec_ids
+    — deterministic, no shuffle) collected to the driver: the codebook is
+    tiny and training it driver-side is standard IVF practice; ASSIGNMENT
+    stays distributed. Lloyd iterations in float64 NumPy; empty clusters
+    re-seeded deterministically from the sample."""
+    pdf = emb.filter(F.col("vec_id") < sample) \
+        .select("embedding").toPandas()
+    x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    gen = np.random.Generator(np.random.PCG64(seed))
+    cents = x[gen.choice(len(x), size=min(n_centroids, len(x)),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:
+                cents[c] = x[int(gen.integers(0, len(x)))]
+    return cents
+
+
+def ivf_assign(emb: DataFrame, cents: np.ndarray,
+               nprobe: int = 1) -> DataFrame:
+    """(vec_id, centroid) assignment — ``nprobe`` nearest centroids per
+    vector (nprobe=1 for the index side; queries probe more). One NumPy
+    matmul per Arrow batch; the codebook ships in the task closure."""
+    cb = np.ascontiguousarray(cents, dtype=np.float64)
+
+    def kernel(it):
+        for pdf in it:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "centroid": pd.Series(dtype="int64")})
+                continue
+            x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cb.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "centroid": top.reshape(-1).astype(np.int64),
+            })
+
+    return emb.select("vec_id", "embedding") \
+        .mapInPandas(kernel, schema="vec_id long, centroid long")
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: coarse k-means codebook, index vectors in
+    their nearest cell, queries probe their ``nprobe`` nearest cells, exact
+    cosine rank within the probed candidates. Same output shape as
+    topk_neighbors; the scale path alternative to ann_topk (LSH) —
+    IVF cells adapt to the data distribution where hyperplanes don't."""
+    cents = kmeans_centroids(emb, n_centroids, seed=seed)
+    index = ivf_assign(emb, cents, nprobe=1)
+    queries = (ivf_assign(emb.filter(F.col("vec_id") < n_queries),
+                          cents, nprobe=nprobe)
+               .withColumnRenamed("vec_id", "qid"))
+    cand = (F.broadcast(queries).join(index, "centroid")
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", F.col("vec_id").alias("nid"))
+            .distinct())
+    n = with_norm(emb)
+    scored = (cand
+              .join(F.broadcast(n.select(F.col("vec_id").alias("qid"),
+                                         F.col("embedding").alias("qv"),
+                                         F.col("norm").alias("qn"))), "qid")
+              .join(n.select(F.col("vec_id").alias("nid"),
+                             F.col("embedding").alias("nv"),
+                             F.col("norm").alias("nn")), "nid")
+              .select("qid", "nid",
+                      F.round(_dot("qv", "nv")
+                              / (F.col("qn") * F.col("nn")), 6)
+                      .alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cos",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def ann_topk(emb: DataFrame, n_queries: int = 20, k: int = 5,
              nbits: int = 8, seed: int = 42, ntables: int = 8) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any (table, bucket)

@@ -89,6 +89,30 @@ class TestDedup:
         got = {(r.a, r.b) for r in dedup.simhash_pairs(docs).collect()}
         assert got == brute
 
+    def test_hot_bucket_capped(self, spark):
+        """Skew guard: 2000 identical docs put every shingle and every LSH
+        band into one hot bucket. The quadratic pair step must emit ZERO
+        pairs (bucket > cap), not ~2M; exact dedup still collapses them;
+        the CC star contraction stays linear (n-1 edges, 1 component)."""
+        from apollo_spark.config import PipelineConfig
+        from apollo_spark.stages import cc as cc_stage
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same caption text repeated for everyone").alias("text"))
+        bands = dedup.lsh_bands(dedup.minhash_signatures(docs))
+        assert dedup.candidate_pairs(bands).count() == 0
+        ex = dedup.exact_dedup(docs)
+        assert ex.select("canonical_id").distinct().count() == 1
+        memb = bands.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.col("band_idx").cast("int").alias("hashtable"),
+            F.encode("band_key", "utf-8").alias("band"))
+        edges = cc_stage.star_edges(memb)
+        # n-1 per band, deduped across the 4 identical bands: linear
+        assert edges.count() == 1999
+        cc = cc_stage.connected_components(memb, PipelineConfig())
+        assert cc.select("cc_id").distinct().count() == 1
+
     def test_cc_pairs_union_find(self, spark):
         pairs = spark.createDataFrame(
             pd.DataFrame({"a": [1, 2, 10, 11, 20],
@@ -126,6 +150,21 @@ class TestSimilarity:
         # uniform-random embeddings are LSH's adversarial case (neighbors
         # barely closer than random); multi-table still recovers most
         assert recall >= 0.5, recall
+
+    def test_ivf_recall(self, emb):
+        """IVF probe recall vs exact top-k; same bar as the LSH path."""
+        exact = similarity.topk_neighbors(emb, n_queries=20, k=5).toPandas()
+        approx = similarity.ivf_topk(emb, n_queries=20, k=5,
+                                     n_centroids=8, nprobe=4).toPandas()
+        ex = {(r.qid, r.nid) for r in exact.itertuples()}
+        ap = {(r.qid, r.nid) for r in approx.itertuples()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.6, f"IVF recall {recall}"
+        # probing ALL cells must be exact
+        full = similarity.ivf_topk(emb, n_queries=20, k=5,
+                                   n_centroids=8, nprobe=8).toPandas()
+        fu = {(r.qid, r.nid) for r in full.itertuples()}
+        assert fu == ex
 
     def test_lsh_bucket_determinism(self, emb):
         a = similarity.lsh_bucketed(emb, nbits=6).toPandas() \
