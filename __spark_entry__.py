@@ -10,10 +10,12 @@ each — identical math (md5-derived portable hashes, double-precision folds,
 Operator map (SURVEY.md §2 ids):
   A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
   oracled in tests vs the NumPy golden kernel) · H5 minhash_bands ·
-  J2 candidate_pairs · J5/G1 dedup_cc · G5 cluster_sizes · V1/V2
-  minhash_dedup/ngram_jaccard · P4 df filters (inside A1) — plus the
-  dedup ladder (exact/minhash/simhash/ngram/cosine), ANN search, text
-  analysis, and multimodal byte plumbing.
+  H8 query_by_image · J2 candidate_pairs · J3+V1/V2 wjacc_query ·
+  J5/G1 dedup_cc/wmh_clusters · G5 cluster_sizes · G6 refined_clusters ·
+  V3 cluster_eval · per-row invariants validate_rows · axis extensions
+  simhash_phash_pairs / substring_candidates — plus the dedup ladder
+  (exact/minhash/simhash/ngram/cosine), ANN search (LSH + IVF), text
+  analysis, and multimodal byte plumbing (byte_stats/decode_features).
 """
 
 from __future__ import annotations
@@ -139,7 +141,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), n_queries=20, k=5, n_centroids=16, nprobe=4)
     q["simhash_phash_pairs"] = _simhash_phash_query
     q["decode_features"] = _decode_features_query
+    q["query_by_image"] = _query_by_image
     return q
+
+
+def _query_by_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 file-mode query (reference query.py:22-36 + hasher.py:208-234):
+    hash a NEW image against the corpus vocabulary, probe its bands,
+    re-rank by sparse weighted Jaccard. Rows-only (WMH kernel inside)."""
+    from apollo_spark import synth
+    from apollo_spark.stages import query as query_stage
+    cfg = PipelineConfig()
+    images = spark.read.parquet(synth.cached_corpus_path(300)) \
+        .drop("gt_cluster")
+    feats = bags_stage.extract_features(images, cfg)
+    vocab = bags_stage.vocab_table(feats, cfg).localCheckpoint()
+    ndocs = images.count()
+    bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg).localCheckpoint()
+    _, bands = hashst.run(bags, cfg)
+    qrow = images.orderBy("image_id").limit(1) \
+        .withColumn("image_id", F.lit("query-new"))
+    return (query_stage.query_image(qrow, vocab, ndocs,
+                                    bands.localCheckpoint(), bags, cfg)
+            .select("image_id", F.round("sim", 6).alias("sim")))
 
 
 def _wjacc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
