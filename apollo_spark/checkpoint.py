@@ -36,7 +36,12 @@ class CheckpointCatalog:
     @staticmethod
     def _fingerprint(config) -> str:
         import hashlib
-        blob = json.dumps(asdict(config), sort_keys=True, default=str)
+
+        from apollo_spark.core.wmh import KERNEL_VERSION
+
+        blob = json.dumps({"config": asdict(config),
+                           "kernel": KERNEL_VERSION},
+                          sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
     # -- manifest ----------------------------------------------------------
@@ -92,13 +97,17 @@ class CheckpointCatalog:
                info: dict | None = None) -> DataFrame:
         """Append a delta to an existing stage table (incremental runs —
         the reference's append-mode Cassandra writes, bags.py:23,
-        hasher.py:186-201). Metrics record the delta's partitions only."""
+        hasher.py:186-201). Metrics record the delta's partitions only
+        (file list snapshotted before the write; on Iceberg the same
+        delta-only numbers come from the new snapshot's manifest)."""
+        before = set(self._stage_files(stage))
         t0 = time.time()
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(stage))
-        self._record_metrics(stage, time.time() - t0)
+        new_files = [f for f in self._stage_files(stage) if f not in before]
+        self._record_metrics(stage, time.time() - t0, files=new_files)
         m = self._manifest()
         entry = m["stages"].setdefault(
             stage, {"path": self.path(stage)})
@@ -126,8 +135,43 @@ class CheckpointCatalog:
             m["stages"].pop(s, None)
         self._save_manifest(m)
 
+    # -- delta idempotency ---------------------------------------------------
+    def begin_delta(self, delta_id: str) -> None:
+        """Mark an incremental delta as in-flight. Refuses a delta that was
+        already committed (duplicate invocation would double-append rows and
+        silently inflate weighted-Jaccard/eval sums — ADVICE r1) and one that
+        is still pending (a crash mid-append left partially-applied stage
+        files; parquet appends cannot roll back, so the derived stages must
+        be reset and the delta retried under a fresh id, or the run rebuilt).
+        On Iceberg the same contract is a MERGE on the delta id."""
+        m = self._manifest()
+        deltas = m.setdefault("deltas", {})
+        state = deltas.get(delta_id)
+        if state == "committed":
+            raise ValueError(
+                f"delta {delta_id} already applied — refusing duplicate "
+                f"append (rows would double)")
+        if state == "pending":
+            raise ValueError(
+                f"delta {delta_id} is pending from a crashed append — "
+                f"stage tables may hold a partial delta; reset and re-run")
+        deltas[delta_id] = "pending"
+        self._save_manifest(m)
+
+    def commit_delta(self, delta_id: str) -> None:
+        m = self._manifest()
+        m.setdefault("deltas", {})[delta_id] = "committed"
+        self._save_manifest(m)
+
     # -- lineage + metrics ---------------------------------------------------
-    def _record_metrics(self, stage: str, wall_s: float) -> None:
+    def _stage_files(self, stage: str) -> list[str]:
+        import glob
+        return sorted(glob.glob(
+            os.path.join(self.path(stage), "**", "*.parquet"),
+            recursive=True))
+
+    def _record_metrics(self, stage: str, wall_s: float,
+                        files: list[str] | None = None) -> None:
         """Per-partition lineage: (stage, partition_id, rows, bytes) + stage
         wall time, appended to <root>/metrics.
 
@@ -135,15 +179,13 @@ class CheckpointCatalog:
         per writer task = one partition), not from re-scanning the table —
         a full extra scan per stage was a measurable serial cost in the
         N-vs-4N benchmark. On Iceberg the same numbers come from the
-        snapshot's manifest entries."""
-        import glob
-
+        snapshot's manifest entries. ``files`` restricts recording to a
+        delta's newly-written files (append path) so repeated appends don't
+        re-count the whole table."""
         import pyarrow.parquet as pq
 
         rows = []
-        files = sorted(glob.glob(
-            os.path.join(self.path(stage), "**", "*.parquet"),
-            recursive=True))
+        files = self._stage_files(stage) if files is None else files
         for i, f in enumerate(files):
             md = pq.ParquetFile(f).metadata
             rows.append((stage, i, md.num_rows, os.path.getsize(f),

@@ -29,6 +29,14 @@ import hashlib
 
 import numpy as np
 
+# Hash-affecting kernel format version. Folded into the checkpoint config
+# fingerprint (checkpoint.py): ANY change to signature/band math (parameter
+# generation, uniform mapping, argmin tie-break, blob layout) must bump this
+# so old checkpoints are invalidated instead of silently extended with
+# incomparable signatures (ADVICE r1: the f64->f32x2 rewrite would have mixed
+# kernels under the config-only fingerprint).
+KERNEL_VERSION = "wmh-cws-f32x2-v2"
+
 _PHI = np.uint64(0x9E3779B97F4A7C15)
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)

@@ -25,6 +25,7 @@ vs O(|corpus|) for a full rerun.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from apollo_spark.checkpoint import CheckpointCatalog
 from apollo_spark.config import PipelineConfig
@@ -51,6 +52,17 @@ def append_images(spark: SparkSession, all_images: DataFrame,
     vocab = cat.load("vocab")
     ndocs = int(cat.stage_info("vocab")["ndocs"])
 
+    # delta identity = order-insensitive hash of the delta's image ids
+    # (one distributed agg, no collect). Recorded pending -> committed in
+    # the manifest so a duplicate invocation is refused and a crash between
+    # the three stage appends is detectable (ADVICE r1: non-atomic appends
+    # silently duplicated rows).
+    fp_row = new_images.agg(
+        F.expr("bit_xor(xxhash64(image_id))").alias("s"),
+        F.count(F.lit(1)).alias("n")).first()
+    delta_id = f"{int(fp_row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:x}-{fp_row['n']}"
+    cat.begin_delta(delta_id)
+
     feats = bags_stage.extract_features(new_images, cfg)
     delta_bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg) \
         .localCheckpoint()
@@ -59,6 +71,7 @@ def append_images(spark: SparkSession, all_images: DataFrame,
     cat.append("signatures", delta_sigs)
     cat.append("bands", hashst.bands(delta_sigs, cfg),
                partition_by=["hashtable"])
+    cat.commit_delta(delta_id)
 
     # global stages derive from the (now extended) bands — rebuild them
     cat.reset([s for s in DERIVED_STAGES])

@@ -246,6 +246,7 @@ def connected_components_pairs(pairs: DataFrame,
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                 .groupBy(F.col("dst").alias("doc_id"))
@@ -260,4 +261,10 @@ def connected_components_pairs(pairs: DataFrame,
         labels = new
         if changed == 0:
             break
+    if changed:
+        import warnings
+        warnings.warn(
+            f"connected_components_pairs hit max_iter={max_iter} with "
+            f"{changed} labels still moving — deep components are split",
+            RuntimeWarning, stacklevel=2)
     return labels.select("doc_id", F.col("label").alias("cc_id"))

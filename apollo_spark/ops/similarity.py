@@ -59,7 +59,12 @@ def cosine_pairs(emb: DataFrame, threshold: float,
     O((n/block)²) independent tiles; production near-dup at 10^12 rows
     goes through ann_lsh buckets first, identical verify math. Rounding is
     half-up to match SQL ROUND; emitted cos is always positive here so no
-    sign handling is needed."""
+    sign handling is needed.
+
+    ID CONTRACT: vec_id must be dense 0..n-1 (the testdata shape) — blocks
+    derive from max(vec_id)+1, so sparse or hashed 64-bit ids would explode
+    the F.sequence fan-out. For arbitrary ids, remap through a dense rank
+    first, or use cosine_neardup_ann (LSH-candidate path, id-agnostic)."""
     nblocks_row = emb.agg(
         F.ceil((F.max("vec_id") + 1) / block).cast("int")).first()
     nblocks = int(nblocks_row[0] or 1)

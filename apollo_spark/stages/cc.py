@@ -83,6 +83,7 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
               .distinct()
               .withColumn("label", F.col("image_id"))
               .localCheckpoint())
+    changed = 0
     for _ in range(cfg.max_cc_iterations):
         prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
                 .groupBy(F.col("dst").alias("image_id"))
@@ -99,6 +100,16 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
             "image_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed:
+        # a component deeper than max_cc_iterations would silently come back
+        # split into several cc_ids — downstream recall gating would misread
+        # the split as genuine clusters (ADVICE r1), so surface it loudly
+        import warnings
+        warnings.warn(
+            f"connected_components hit max_cc_iterations="
+            f"{cfg.max_cc_iterations} with {changed} labels still moving — "
+            f"components deeper than the cap are split; raise "
+            f"max_cc_iterations", RuntimeWarning, stacklevel=2)
     cc = labels.withColumnRenamed("label", "cc_id")
     if all_ids is not None:
         singletons = (all_ids.select("image_id")

@@ -256,6 +256,45 @@ class TestIncremental:
                  if (p[0] in base_ids) != (p[1] in base_ids)]
         assert cross, "no cross-boundary duplicate linked"
 
+        # duplicate invocation of the SAME delta must be refused (ADVICE r1:
+        # a retried append silently doubled bags rows)
+        bags_rows = res["bags"].count()
+        with pytest.raises(ValueError, match="already applied"):
+            append_images(spark, full, delta, cfg, str(tmp_path))
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        assert cat.load("bags").count() == bags_rows
+
+    def test_kernel_version_invalidates_checkpoints(self, spark, cfg,
+                                                    tmp_path, monkeypatch):
+        """A hash-affecting kernel change must invalidate old checkpoints
+        (ADVICE r1): the fingerprint folds in wmh.KERNEL_VERSION."""
+        from apollo_spark.checkpoint import CheckpointCatalog
+        from apollo_spark.core import wmh as wmh_mod
+        cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        cat.write("vocab", spark.range(3).selectExpr(
+            "id AS feat_hash", "1 AS df"))
+        assert cat.is_complete("vocab")
+        monkeypatch.setattr(wmh_mod, "KERNEL_VERSION", "wmh-test-v999")
+        cat2 = CheckpointCatalog(spark, str(tmp_path), cfg)
+        assert not cat2.is_complete("vocab")
+
+    def test_append_metrics_record_delta_only(self, spark, cfg, tmp_path):
+        """Metrics after an append must add only the delta's files/rows,
+        not re-record the whole table (ADVICE r1 double-count)."""
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        base = spark.range(100).selectExpr("id AS x").coalesce(2)
+        cat.write("t", base)
+        m1 = (cat.metrics().filter("stage = 't'")
+              .agg(F.sum("rows")).first()[0])
+        assert m1 == 100
+        cat.append("t", spark.range(100, 110).selectExpr("id AS x")
+                   .coalesce(1))
+        m2 = (cat.metrics().filter("stage = 't'")
+              .agg(F.sum("rows")).first()[0])
+        assert m2 == 110  # 100 base + 10 delta, NOT 100 + 110
+
 
 class TestEval:
     def test_cluster_eval_metrics(self, cc, bags, cfg):
