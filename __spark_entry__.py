@@ -95,11 +95,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.minhash_signatures(_docs(s, d))))
     q["minhash_dedup"] = lambda s, d: dedup.minhash_dedup(_docs(s, d))
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
+    # CC consumes verified pairs + linear-mode star edges from over-cap hot
+    # buckets (dup_edges), so mega near-dup clusters survive the bucket cap
     q["dedup_cc"] = lambda s, d: dedup.connected_components_pairs(
-        dedup.minhash_dedup(_docs(s, d)).select("a", "b"))
+        dedup.dup_edges(_docs(s, d)))
     q["cluster_sizes"] = lambda s, d: (
-        dedup.connected_components_pairs(
-            dedup.minhash_dedup(_docs(s, d)).select("a", "b"))
+        dedup.connected_components_pairs(dedup.dup_edges(_docs(s, d)))
         .groupBy("cc_id").agg(F.count(F.lit(1)).alias("n_members")))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
@@ -322,12 +323,19 @@ cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 """
 
 def _cc_sql(select_clause: str) -> str:
-    """CC over the verified minhash pairs via recursive min-label reach."""
+    """CC over verified minhash pairs UNION over-cap hot-bucket star edges
+    (linear mode, dedup.dup_edges) via recursive min-label reach."""
     ctes, body = _jaccard_parts(0.7, _CAND)
     return f"""WITH RECURSIVE {ctes},
 vp AS ({body}),
-edges AS (SELECT a AS src, b AS dst FROM vp
-          UNION SELECT b, a FROM vp),
+hot AS (SELECT band_idx, band_key, min(doc_id) AS rep FROM bands
+        GROUP BY band_idx, band_key HAVING count(*) > 512),
+hedge AS (SELECT DISTINCT h.rep AS a, b.doc_id AS b
+          FROM bands b JOIN hot h USING (band_idx, band_key)
+          WHERE b.doc_id != h.rep),
+alledges AS (SELECT a, b FROM vp UNION SELECT a, b FROM hedge),
+edges AS (SELECT a AS src, b AS dst FROM alledges
+          UNION SELECT b, a FROM alledges),
 reach(node, lab) AS (
     SELECT src, src FROM edges
     UNION

@@ -110,6 +110,47 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
             .select("a", "b").distinct())
 
 
+def hot_bucket_edges(bands: DataFrame,
+                     cap: int = BUCKET_CAP) -> DataFrame:
+    """Linear-mode edges for OVER-cap buckets: (a, b) star pairs with
+    a = the bucket's min doc_id, one row per other member.
+
+    candidate_pairs drops buckets > cap before its quadratic join (the
+    O(bucket²) guard); without this pass those docs would silently vanish
+    from the near-dup graph — a 2000-member templated-page cluster would
+    yield ZERO minhash pairs (round-1 VERDICT #1). Mirroring the
+    reference's linear --edges mode (graph.py:222-233: bucket contracted to
+    a star around one vertex), each over-cap bucket instead contributes
+    n-1 star edges straight into CC. These edges skip the exact-Jaccard
+    verify — agreement of an entire LSH band across >cap docs IS the
+    evidence (the reference's linear mode does not verify either); the
+    verified threshold still governs every normal-size bucket."""
+    stats = (bands.groupBy("band_idx", "band_key")
+             .agg(F.min("doc_id").alias("a"),
+                  F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > cap))
+    return (bands.join(stats.select("band_idx", "band_key", "a"),
+                       ["band_idx", "band_key"])
+            .filter(F.col("doc_id") != F.col("a"))
+            .select("a", F.col("doc_id").alias("b"))
+            .distinct())
+
+
+def dup_edges(docs: DataFrame, threshold: float = 0.7,
+              k: int = DEFAULT_K, r: int = DEFAULT_R,
+              w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+    """The full near-dup edge list feeding CC: exact-Jaccard-verified pairs
+    from normal buckets (quadratic mode) UNION star edges from over-cap hot
+    buckets (linear mode) — the adaptive analogue of the reference's
+    --edges quadratic/linear switch (__main__.py:170-175, graph.py:209-249),
+    chosen per bucket instead of per run."""
+    bands = lsh_bands(minhash_signatures(docs, k, w), r).localCheckpoint()
+    verified = (jaccard(docs, candidate_pairs(bands), w)
+                .filter(F.col("jaccard") >= threshold)
+                .select("a", "b"))
+    return verified.unionByName(hot_bucket_edges(bands)).distinct()
+
+
 def jaccard(docs: DataFrame, pairs: DataFrame,
             w: int = DEFAULT_SHINGLE_W) -> DataFrame:
     """Exact shingle-set Jaccard for given (a, b) pairs:

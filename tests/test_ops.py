@@ -89,29 +89,38 @@ class TestDedup:
         got = {(r.a, r.b) for r in dedup.simhash_pairs(docs).collect()}
         assert got == brute
 
-    def test_hot_bucket_capped(self, spark):
-        """Skew guard: 2000 identical docs put every shingle and every LSH
-        band into one hot bucket. The quadratic pair step must emit ZERO
-        pairs (bucket > cap), not ~2M; exact dedup still collapses them;
-        the CC star contraction stays linear (n-1 edges, 1 component)."""
+    def test_hot_bucket_linear_mode(self, spark):
+        """Skew guard + recall: 2000 identical docs put every shingle and
+        every LSH band into one hot bucket. The quadratic pair step must
+        emit ZERO pairs (bucket > cap), not ~2M — but the docs must NOT
+        vanish from the near-dup graph (round-1 VERDICT #1): the linear-mode
+        star edges re-link them, so the minhash CC path yields ONE
+        2000-member component; exact dedup still collapses them too."""
         from apollo_spark.config import PipelineConfig
         from apollo_spark.stages import cc as cc_stage
         docs = spark.range(2000).select(
             F.col("id").alias("doc_id"),
             F.lit("the same caption text repeated for everyone").alias("text"))
-        bands = dedup.lsh_bands(dedup.minhash_signatures(docs))
+        bands = dedup.lsh_bands(dedup.minhash_signatures(docs)) \
+            .localCheckpoint()
         assert dedup.candidate_pairs(bands).count() == 0
+        # linear mode: n-1 star edges, deduped across the identical bands
+        hot = dedup.hot_bucket_edges(bands)
+        assert hot.count() == 1999
+        cc = dedup.connected_components_pairs(dedup.dup_edges(docs))
+        assert cc.count() == 2000
+        assert cc.select("cc_id").distinct().count() == 1
         ex = dedup.exact_dedup(docs)
         assert ex.select("canonical_id").distinct().count() == 1
+        # the image path's star contraction is the same device
         memb = bands.select(
             F.col("doc_id").cast("string").alias("image_id"),
             F.col("band_idx").cast("int").alias("hashtable"),
             F.encode("band_key", "utf-8").alias("band"))
         edges = cc_stage.star_edges(memb)
-        # n-1 per band, deduped across the 4 identical bands: linear
         assert edges.count() == 1999
-        cc = cc_stage.connected_components(memb, PipelineConfig())
-        assert cc.select("cc_id").distinct().count() == 1
+        cc2 = cc_stage.connected_components(memb, PipelineConfig())
+        assert cc2.select("cc_id").distinct().count() == 1
 
     def test_cc_pairs_union_find(self, spark):
         pairs = spark.createDataFrame(
