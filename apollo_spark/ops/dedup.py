@@ -97,15 +97,35 @@ def lsh_buckets(bands: DataFrame, min_size: int = 2,
             .filter((F.col("n") >= min_size) & (F.col("n") <= max_size)))
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+SALT_TARGET = 64         # max a-side rows per (bucket, salt) join shard
+
+
+def candidate_pairs(bands: DataFrame,
+                    salt_target: int = SALT_TARGET) -> DataFrame:
     """Co-bucketed pairs (a < b), distinct across bands — the J2 bucket
-    self-join. Oversized buckets are dropped by lsh_buckets' cap before
-    the quadratic step; AQE splits residual skew."""
-    ok = lsh_buckets(bands).select("band_idx", "band_key")
+    self-join. Oversized buckets are routed to linear mode by
+    hot_bucket_edges before the quadratic step (lsh_buckets' cap).
+
+    SALTED SKEW JOIN (north_rule: salted repartitioning): without salting,
+    a bucket at the 512 cap lands its entire 512² = 262k-pair cross product
+    on ONE shuffle task. Buckets above ``salt_target`` members are split
+    into s = ceil(n / salt_target) shards: the a-side gets
+    salt = hash(doc_id) mod s, the b-side is replicated once per shard, and
+    the join key becomes (band, salt) — every (a, b) combination still
+    appears exactly once (at a's salt), but no task holds more than
+    ~salt_target·n pairs. Buckets at or below salt_target have s = 1 and
+    pay nothing. AQE skew splitting remains on as the backstop for residual
+    imbalance in the hash."""
+    ok = lsh_buckets(bands)                      # (band_idx, band_key, n)
     m = bands.join(ok, ["band_idx", "band_key"])
-    a = m.select("band_idx", "band_key", F.col("doc_id").alias("a"))
-    b = m.select("band_idx", "band_key", F.col("doc_id").alias("b"))
-    return (a.join(b, ["band_idx", "band_key"])
+    nshards = F.greatest(
+        F.lit(1), F.ceil(F.col("n") / salt_target)).cast("int")
+    a = m.select("band_idx", "band_key", F.col("doc_id").alias("a"),
+                 F.pmod(F.xxhash64("doc_id"), nshards).cast("int")
+                 .alias("salt"))
+    b = m.select("band_idx", "band_key", F.col("doc_id").alias("b"),
+                 F.explode(F.sequence(F.lit(0), nshards - 1)).alias("salt"))
+    return (a.join(b, ["band_idx", "band_key", "salt"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
 

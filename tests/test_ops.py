@@ -122,6 +122,46 @@ class TestDedup:
         cc2 = cc_stage.connected_components(memb, PipelineConfig())
         assert cc2.select("cc_id").distinct().count() == 1
 
+    def test_salted_pair_join_skew(self, spark):
+        """north_rule salting: one bucket holds 10% of the corpus (200 of
+        2000 docs share a text, below the 512 cap). The salted join must
+        (a) produce exactly the same pair set as the unsalted cross
+        product, and (b) split the hot bucket across >= ceil(200/64) = 4
+        salt shards with no shard's a-side above the salt target (so no
+        task materializes more than ~target*n pairs)."""
+        from pyspark.sql import functions as F2
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 200,
+                   "hot templated page body shared by many documents")
+            .otherwise(F.expr(
+                "concat_ws(' ', transform(sequence(0, 7), "
+                "j -> concat('w', id, 'x', j)))"))  # no shared shingles
+            .alias("text"))
+        bands = dedup.lsh_bands(dedup.minhash_signatures(docs)) \
+            .localCheckpoint()
+        got = {(r.a, r.b) for r in dedup.candidate_pairs(bands).collect()}
+        expect = {(a, b) for a in range(200) for b in range(200) if a < b}
+        assert got == expect
+        # shard census of the hot bucket
+        ok = dedup.lsh_buckets(bands).filter("n = 200") \
+            .select("band_idx", "band_key")
+        hot = bands.join(ok, ["band_idx", "band_key"])
+        shards = (hot.select(
+            "band_idx", "band_key",
+            F2.pmod(F2.xxhash64("doc_id"),
+                    F2.ceil(F2.lit(200) / dedup.SALT_TARGET).cast("int"))
+            .alias("salt"))
+            .groupBy("band_idx", "band_key", "salt")
+            .count().collect())
+        per_bucket: dict = {}
+        for r in shards:
+            per_bucket.setdefault((r.band_idx, r.band_key), []).append(
+                r["count"])
+        for sizes in per_bucket.values():
+            assert len(sizes) >= 4                    # really sharded
+            assert max(sizes) <= 2 * dedup.SALT_TARGET  # balanced-ish
+
     def test_cc_pairs_union_find(self, spark):
         pairs = spark.createDataFrame(
             pd.DataFrame({"a": [1, 2, 10, 11, 20],
