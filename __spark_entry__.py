@@ -112,7 +112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
 
     # --- embeddings (oracled) ---
-    q["cosine_neardup"] = lambda s, d: similarity.cosine_pairs(
+    # headline near-dup = the scale path: hyperplane-LSH candidates + exact
+    # 6dp verify; its oracle replicates the bucketing via plane literals so
+    # the hash match covers the FULL ann semantics, not just the verify
+    q["cosine_neardup"] = lambda s, d: similarity.cosine_neardup_ann(
+        _emb(s, d), 0.40, nbits=_ANN_NBITS, ntables=_ANN_NTABLES,
+        dim=_EMB_DIM)
+    # exact blocked-GEMM all-pairs kept as the small-n recall baseline
+    q["cosine_exact"] = lambda s, d: similarity.cosine_pairs(
         _emb(s, d), 0.40)
     q["embedding_topk"] = lambda s, d: similarity.topk_neighbors(
         _emb(s, d), n_queries=20, k=5)
@@ -366,6 +373,21 @@ e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
 """
 
+# ANN cosine config — shared by the Spark query and its DuckDB oracle (the
+# oracle carries the SAME hyperplanes as double literals, so bucketing and
+# verify replicate bit-for-bit on the 6dp grid). dim is fixed by the
+# testdata embeddings schema.
+_EMB_DIM, _ANN_NBITS, _ANN_NTABLES = 64, 4, 24
+
+
+def _ann_planes_values() -> str:
+    """The hyperplanes as DuckDB VALUES rows (tbl, bit, p DOUBLE[])."""
+    planes = similarity.hyperplane_list(_EMB_DIM, _ANN_NBITS, _ANN_NTABLES)
+    return ",\n".join(
+        f"({i // _ANN_NBITS}, {i % _ANN_NBITS}, "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+
 _TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
            "string_split(trim(text), ' ') AS tk FROM documents)")
 
@@ -484,12 +506,32 @@ SELECT doc_id,
         % 1000000007)::BIGINT AS fingerprint
 FROM pos GROUP BY doc_id"""
 
-    o["cosine_neardup"] = f"""
+    o["cosine_exact"] = f"""
 WITH {_EMB_NORM}
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.40"""
+
+    o["cosine_neardup"] = f"""
+WITH {_EMB_NORM},
+pl AS (SELECT * FROM (VALUES
+{_ann_planes_values()}
+) t(tbl, bit, p)),
+proj AS (SELECT e.vec_id, pl.tbl,
+                CASE WHEN round(list_dot_product(e.v, pl.p), 6) > 0
+                     THEN (1::BIGINT << pl.bit) ELSE 0 END AS term
+         FROM e CROSS JOIN pl),
+bk AS (SELECT vec_id, tbl, sum(term)::BIGINT AS bucket
+       FROM proj GROUP BY vec_id, tbl),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bk x JOIN bk y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket
+          AND x.vec_id < y.vec_id)
+SELECT c.a, c.b,
+       round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos
+FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= 0.40"""
 
     o["embedding_topk"] = f"""
 WITH {_EMB_NORM},

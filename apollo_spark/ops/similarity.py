@@ -133,6 +133,84 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return gen.standard_normal((dim, nbits))
 
 
+def hyperplane_list(dim: int, nbits: int, ntables: int,
+                    seed: int = 42) -> list[list[float]]:
+    """The same planes as plain Python lists, plane-major
+    ((ntables*nbits) rows of dim floats) — shared by the Catalyst bucketing
+    below and the DuckDB oracle's literal plane table, so both sides bucket
+    identically (repr round-trips float64 exactly)."""
+    return [[float(x) for x in row]
+            for row in hyperplanes(dim, nbits * ntables, seed).T]
+
+
+def lsh_buckets_sql(emb: DataFrame, nbits: int = 4, ntables: int = 16,
+                    seed: int = 42, dim: int | None = None) -> DataFrame:
+    """(vec_id, tbl, bucket) — hyperplane sign buckets computed ENTIRELY in
+    Catalyst (zip_with/aggregate dot folds against plane literals, no
+    Python). bit j of table t = [round(dot(v, plane), 6) > 0]; the 6dp
+    rounding grid is the same engine-portable trick as cosine_expr, so a
+    SQL oracle carrying the identical plane literals reproduces every
+    bucket bit-for-bit (summation-order ulp noise is 1e-13-scale, far
+    below the grid). The NumPy-kernel variant (lsh_bucketed) remains the
+    higher-throughput path when oracle parity is not required."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    planes = hyperplane_list(dim, nbits, ntables, seed)
+    bits = [
+        (F.round(_dot("embedding",
+                      F.array(*[F.lit(x) for x in p])), 6) > 0).cast("long")
+        for p in planes]
+    tables = []
+    for t in range(ntables):
+        bucket = None
+        for j in range(nbits):
+            term = bits[t * nbits + j] * F.lit(1 << j)
+            bucket = term if bucket is None else bucket + term
+        tables.append(F.struct(F.lit(t).cast("long").alias("tbl"),
+                               bucket.alias("bucket")))
+    return (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       "embedding",
+                       F.explode(F.array(*tables)).alias("tb"))
+            .select("vec_id", F.col("tb.tbl").alias("tbl"),
+                    F.col("tb.bucket").alias("bucket")))
+
+
+def cosine_neardup_ann(emb: DataFrame, threshold: float, nbits: int = 4,
+                       ntables: int = 16, seed: int = 42,
+                       dim: int | None = None) -> DataFrame:
+    """Near-dup pairs (a, b, cos >= threshold) via LSH candidates + exact
+    6dp cosine verify — the SCALE path for the embedding rung of the dedup
+    ladder (round-1 VERDICT #3: the exact blocked GEMM materializes
+    n²/block rows; this generates only co-bucketed candidates, expected
+    ~T·n²/2^nbits pairs, each verified with the same cosine math).
+    Approximate by design: recall vs the exact baseline is measured in
+    tests (and is a tunable of nbits/ntables); results are a strict subset
+    of cosine_pairs at the same threshold. At higher corpus sizes the
+    bucket self-join takes the same salting treatment as
+    dedup.candidate_pairs."""
+    bk = lsh_buckets_sql(emb, nbits, ntables, seed, dim=dim)
+    cand = (bk.alias("x")
+            .join(bk.alias("y"),
+                  (F.col("x.tbl") == F.col("y.tbl"))
+                  & (F.col("x.bucket") == F.col("y.bucket"))
+                  & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("a"),
+                    F.col("y.vec_id").alias("b"))
+            .distinct())
+    n = with_norm(emb)
+    return (cand
+            .join(n.select(F.col("vec_id").alias("a"),
+                           F.col("embedding").alias("va"),
+                           F.col("norm").alias("na")), "a")
+            .join(n.select(F.col("vec_id").alias("b"),
+                           F.col("embedding").alias("vb"),
+                           F.col("norm").alias("nb")), "b")
+            .select("a", "b",
+                    F.round(_dot("va", "vb")
+                            / (F.col("na") * F.col("nb")), 6).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def lsh_bucketed(emb: DataFrame, nbits: int = 8, seed: int = 42,
                  ntables: int = 8) -> DataFrame:
     """(vec_id, table, bucket) — multi-table random-hyperplane sign sketch

@@ -189,6 +189,19 @@ class TestSimilarity:
             got = out[out.qid == q].sort_values("rank")["nid"].tolist()
             assert got == expect, (q, got, expect)
 
+    def test_cosine_ann_subset_and_recall(self, emb):
+        """The scale-path near-dup (LSH candidates + exact verify) must be
+        a strict subset of the exact all-pairs result with identical cos
+        values, at >= 0.95 recall for the shipped (nbits, ntables)."""
+        exact = {(r.a, r.b): r.cos
+                 for r in similarity.cosine_pairs(emb, 0.40).collect()}
+        ann = {(r.a, r.b): r.cos
+               for r in similarity.cosine_neardup_ann(
+                   emb, 0.40, nbits=4, ntables=24).collect()}
+        assert set(ann) <= set(exact)
+        assert len(ann) / len(exact) >= 0.95
+        assert all(exact[k] == v for k, v in ann.items())
+
     def test_ann_lsh_recall(self, emb):
         exact = similarity.topk_neighbors(emb, n_queries=30, k=5).toPandas()
         approx = similarity.ann_topk(emb, n_queries=30, k=5,
