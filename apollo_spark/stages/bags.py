@@ -81,10 +81,29 @@ def vocab_table(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
     reuse contract)."""
     df_tab = docfreq(features).filter(F.col("df") >= cfg.min_docfreq)
     if cfg.vocabulary_size < 2 ** 62:
-        n_vocab = df_tab.count()
-        if n_vocab > cfg.vocabulary_size:
-            df_tab = (df_tab.orderBy(F.desc("df"), F.asc("feat_hash"))
-                      .limit(cfg.vocabulary_size))
+        # Top-N by (df desc, feat_hash asc) WITHOUT a global sort-limit
+        # (round-1 VERDICT: orderBy().limit(10M) is a single-point
+        # TakeOrdered of 10M rows through the driver). Instead: the df
+        # HISTOGRAM (one tiny agg — distinct df values, not features) gives
+        # the threshold df value tau; everything above tau passes with a
+        # plain filter (no sort anywhere), and only the tau tie band — the
+        # sole part where feature order matters — goes through a bounded
+        # sort-limit. Identical selection to the old sort-limit semantics.
+        hist = (df_tab.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("df")).collect())
+        total = sum(r["cnt"] for r in hist)
+        if total > cfg.vocabulary_size:
+            cum = 0
+            for r in hist:
+                if cum + r["cnt"] > cfg.vocabulary_size:
+                    tau, kept_above = r["df"], cum
+                    break
+                cum += r["cnt"]
+            above = df_tab.filter(F.col("df") > tau)
+            tie = (df_tab.filter(F.col("df") == tau)
+                   .orderBy(F.asc("feat_hash"))
+                   .limit(cfg.vocabulary_size - kept_above))
+            df_tab = above.unionByName(tie)
     return df_tab
 
 

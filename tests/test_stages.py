@@ -54,6 +54,23 @@ class TestBagsStage:
                                       .astype(np.int64)))
             assert np.isclose(gm[k], row["weight"], rtol=1e-6), k
 
+    def test_vocab_cap_matches_sort_limit_semantics(self, spark, images,
+                                                    cfg):
+        """The histogram-threshold vocabulary cap must select exactly the
+        same top-N features as the old global sort-limit (df desc,
+        feat_hash asc) — without sorting anything but the tie band."""
+        feats = bags_st.extract_features(images, cfg).cache()
+        uncapped = bags_st.vocab_table(feats, cfg)
+        n = uncapped.count()
+        cap = max(1, n // 3)
+        capped = bags_st.vocab_table(feats, cfg.with_(vocabulary_size=cap))
+        got = {(r["feat_hash"], r["df"]) for r in capped.collect()}
+        ref = {(r["feat_hash"], r["df"])
+               for r in uncapped.orderBy(F.desc("df"), F.asc("feat_hash"))
+               .limit(cap).collect()}
+        assert got == ref
+        feats.unpersist()
+
     def test_all_weights_positive(self, bags):
         assert bags.filter("weight <= 0").count() == 0
 
