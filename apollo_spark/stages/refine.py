@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from apollo_spark.config import PipelineConfig
 
 REFINE_SCHEMA = "image_id string, cluster_id string"
+MAX_BUCKET_FANIN = 256  # buckets larger than this add no community signal
+                        # (near-uniform weight) — skipped in the kernel
 
 
 def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
@@ -50,17 +52,22 @@ def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
         return pd.DataFrame({"image_id": docs,
                              "cluster_id": [cc_id] * n})
     doc_ix = {d: i for i, d in enumerate(docs)}
-    # bucket keys stay (int, bytes) tuples — the band column is an opaque
-    # binary blob, never valid UTF-8, so no string conversion
-    b_ix: dict[tuple[int, bytes], int] = {}
-    di, bi = [], []
+    # Shared-bucket adjacency WITHOUT the dense (n x buckets) incidence
+    # (round-1 VERDICT #5: at 20k members x ~13 tables that matrix alone
+    # was >= 1.6 GB): accumulate each bucket's member-index block directly
+    # into the n x n adjacency. Bucket keys stay (int, bytes) tuples — the
+    # band column is an opaque binary blob, never valid UTF-8. Buckets
+    # above MAX_BUCKET_FANIN members are skipped: a bucket shared by most
+    # of the component adds near-uniform weight (no community signal) at
+    # O(k²) accumulation cost.
+    groups: dict[tuple[int, bytes], list[int]] = {}
     for d, ht, band in zip(pdf["image_id"], pdf["hashtable"], pdf["band"]):
-        j = b_ix.setdefault((int(ht), bytes(band)), len(b_ix))
-        di.append(doc_ix[d])
-        bi.append(j)
-    inc = np.zeros((n, len(b_ix)), dtype=np.float32)
-    inc[di, bi] = 1.0
-    adj = inc @ inc.T            # shared-bucket counts
+        groups.setdefault((int(ht), bytes(band)), []).append(doc_ix[d])
+    adj = np.zeros((n, n), dtype=np.float32)
+    for members in groups.values():
+        if 2 <= len(members) <= MAX_BUCKET_FANIN:
+            ix = np.asarray(sorted(set(members)), dtype=np.int64)
+            adj[np.ix_(ix, ix)] += np.float32(1.0)
     np.fill_diagonal(adj, 0.0)
 
     labels = np.arange(n)
@@ -85,15 +92,16 @@ def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
 
 def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
                       min_size: int = 3, rounds: int = 5,
-                      max_kernel_size: int = 20_000) -> DataFrame:
+                      max_kernel_size: int = 4_000) -> DataFrame:
     """cc(image_id, cc_id) x memb(image_id, hashtable, band) ->
     (image_id, cluster_id); fat components refined, size-2 passed through,
     singletons dropped (graph.py:213-219 triage).
 
     Skew guard: applyInPandas assigns ONE task per group, so a pathological
     mega-component (hot-bucket chaining) would pin a straggler executor and
-    blow its memory on the dense n x buckets incidence. Components larger
-    than ``max_kernel_size`` bypass the kernel and keep their CC id — the
+    blow its memory on the n x n adjacency (float32: 64 MB at the 4k cap).
+    Components larger than ``max_kernel_size`` bypass the kernel and keep
+    their CC id — the
     same linear-mode escape hatch the reference flips to when quadratic
     edge generation explodes (graph.py:209-249, __main__.py:170-175)."""
     sizes = cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("n"))
