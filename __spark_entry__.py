@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
 
     # --- text analysis (oracled) ---
+    q["bags_tf"] = lambda s, d: text.term_frequencies(_docs(s, d))
+    q["lang_filter"] = lambda s, d: text.lang_filter(_docs(s, d))
     q["token_count"] = lambda s, d: text.token_count(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
@@ -468,6 +470,20 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    o["bags_tf"] = f"""
+WITH {_TOKENS},
+t AS (SELECT doc_id, unnest(tk) AS token FROM tok)
+SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, token"""
+
+    o["lang_filter"] = f"""
+WITH {_TOKENS}
+SELECT doc_id,
+  round(len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk), 6)
+    AS stopword_ratio,
+  'en' AS pred_lang
+FROM tok
+WHERE len(list_intersect(tk, {_STOPLIST}))::DOUBLE / len(tk) >= 0.08"""
 
     o["token_count"] = f"""
 WITH {_TOKENS}

@@ -32,6 +32,10 @@ class PipelineConfig:
     min_docfreq: int = 1
     vocabulary_size: int = 10_000_000
 
+    # P5 input filter (doc/cmd/bags.md:9 --languages analogue): restrict
+    # the corpus to these image formats before extraction; None = all
+    formats: tuple[str, ...] | None = None
+
     # Axis extensions (north_star additions; no reference counterpart)
     simhash_max_hamming: int = 3    # Hamming-ball radius over phash
     substring_min_len: int = 32     # exact-substring candidate length over

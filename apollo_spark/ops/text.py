@@ -95,6 +95,26 @@ def lang_id(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
     )
 
 
+def term_frequencies(docs: DataFrame) -> DataFrame:
+    """A2 TF per (doc, feature) — the relational twin of the reference's
+    in-bag term counts (the `value` of bags rows before IDF,
+    /root/reference/apollo/bags.py:15-17): (doc_id, token, tf). One explode
+    + one keyed shuffle with map-side partial aggregation."""
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.explode(tokens_col()).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def lang_filter(docs: DataFrame, lang: str = "en",
+                threshold: float = 0.08) -> DataFrame:
+    """P5 language filter (reference doc/cmd/bags.md:9 "keep only selected
+    languages", delegated there to sourced-ml): documents whose predicted
+    language matches ``lang``. A plain filter over lang_id — pushes down to
+    the scan side of any downstream dedup pass."""
+    return lang_id(docs, threshold).filter(F.col("pred_lang") == lang)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint (rolling-hash family):
 

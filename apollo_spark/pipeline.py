@@ -47,6 +47,7 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
         timings[name] = time.time() - t0
         return out[name]
 
+    images = bags_stage.filter_formats(images, cfg.formats)  # P5
     ndocs = images.count()
     # extraction feeds both the vocab agg and the weight join — persist so
     # the UDF runs once (unpersisted after the bags checkpoint lands)

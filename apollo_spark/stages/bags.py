@@ -29,6 +29,16 @@ FEATURES_SCHEMA = "image_id string, feat_hash long, tf int, ns int"
 NS_PHASH, NS_CAPTION = 0, 1
 
 
+def filter_formats(images: DataFrame,
+                   formats: tuple[str, ...] | None) -> DataFrame:
+    """P5 language/format filter (reference doc/cmd/bags.md:9 "--languages:
+    keep only selected languages"; the images analogue keys on ``fmt``).
+    A plain pushdown filter ahead of extraction — None/empty = keep all."""
+    if not formats:
+        return images
+    return images.filter(F.col("fmt").isin(list(formats)))
+
+
 def extract_features(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(image_id, phash, caption) -> exploded (image_id, feat_hash, tf, ns).
 

@@ -244,6 +244,32 @@ class TestText:
         assert out.n_tokens == 3 and out.n_chars_counted == 13
         assert out.n_bpe_est == 4  # ceil(13/4)
 
+    def test_term_frequencies(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2],
+                          "text": ["a b a a c", "x x"]}))
+        tf = {(r.doc_id, r.token): r.tf
+              for r in text.term_frequencies(docs).collect()}
+        assert tf == {(1, "a"): 3, (1, "b"): 1, (1, "c"): 1, (2, "x"): 2}
+
+    def test_lang_filter(self, spark):
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["the cat is on the mat and in a box of hats",
+                     "zzz qqq vvv www"]}))
+        kept = [r.doc_id for r in text.lang_filter(docs).collect()]
+        assert kept == [1]
+
+    def test_filter_formats(self, spark):
+        from apollo_spark.stages import bags as bags_st
+        imgs = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["a", "b", "c"], "fmt": ["png", "jpeg", "bmp"]}))
+        assert bags_st.filter_formats(imgs, None).count() == 3
+        got = {r.image_id
+               for r in bags_st.filter_formats(imgs, ("png", "jpeg"))
+               .collect()}
+        assert got == {"a", "b"}
+
     def test_fingerprint_order_sensitive(self, spark):
         df = spark.createDataFrame(pd.DataFrame(
             {"doc_id": [1, 2], "text": ["alpha beta", "beta alpha"]}))
