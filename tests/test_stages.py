@@ -198,6 +198,24 @@ class TestReport:
         assert md2.index("`a`") < md2.index("`b`")
         assert report.dump_cc(cc).count() == cc.count()
 
+    def test_meta_resolved_reports(self, spark, images, cc):
+        """Reports resolve caption/fmt/w/h per id when given the corpus
+        (reference query.py:74-92 meta resolution analogue)."""
+        from apollo_spark import report
+        some = [r["image_id"] for r in images.select("image_id")
+                .orderBy("image_id").limit(2).collect()]
+        hits = spark.createDataFrame([(some[0], 0.93), (some[1], 0.71)],
+                                     ["image_id", "sim"])
+        md = report.render_query_report("q0", hits, images=images)
+        row = images.filter(F.col("image_id") == some[0]).first()
+        assert row["fmt"] in md and f"{row['w']}x{row['h']}" in md
+        assert (row["caption"] or "")[:20] in md
+        cl = cc_st.clusters(cc)
+        md2 = report.render_cluster_report(cl, images=images)
+        assert "x" in md2 and "—" in md2  # fmt WxH annotations rendered
+        any_member = (cl.join(images, "image_id").first())
+        assert any_member["fmt"] in md2
+
 
 class TestRefine:
     @staticmethod
