@@ -9,9 +9,22 @@ the checkpoint — the DataFrame-native analogue of the reference's per-stage
 Cassandra tables / model files (SURVEY.md §2.9: bags.py:23, hasher.py:186-201,
 deferred WMH param reuse hasher.py:159-166).
 
-Backed by parquet directories here; the write/read surface is a thin
-``writeTo/load`` pair so an Iceberg catalog (``df.writeTo(table).append()``)
-drops in on a real cluster without touching stage code.
+Two storage backends behind one surface (north_rule names Iceberg):
+
+* ``backend="iceberg"`` — DataSourceV2 tables in a configured Spark
+  catalog: ``df.writeTo(cat.ns.stage).using("iceberg").partitionedBy(...)
+  .createOrReplace()`` / ``.append()``, reads via ``spark.read.table``,
+  per-stage Iceberg snapshot ids recorded in the manifest for resume, and
+  per-partition lineage from the table's ``.files`` metadata (no rescans).
+  Requires the iceberg-spark runtime on the classpath
+  (``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-*``
+  plus a ``spark.sql.catalog.<name>`` config) — the constructor validates
+  and fails fast with guidance. This sandbox has no Iceberg jar, so the
+  path is exercised on a real cluster only.
+* ``backend="parquet"`` (default) — hive-layout parquet directories with
+  the same partitioning, completeness and metrics contracts. Partition
+  pruning on the ``bands(hashtable=...)`` layout is proven by explain test
+  (tests/test_stages.py::TestCheckpointPruning).
 """
 
 from __future__ import annotations
@@ -26,12 +39,32 @@ from pyspark.sql import functions as F
 
 
 class CheckpointCatalog:
-    def __init__(self, spark: SparkSession, root: str, config) -> None:
+    def __init__(self, spark: SparkSession, root: str, config,
+                 backend: str = "parquet", catalog: str = "local",
+                 namespace: str = "apollo") -> None:
         self.spark = spark
         self.root = root
+        self.backend = backend
+        self.catalog = catalog
+        self.namespace = namespace
         self.config_fp = self._fingerprint(config)
+        if backend == "iceberg":
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+            if not impl:
+                raise RuntimeError(
+                    f"backend='iceberg' needs a configured catalog: launch "
+                    f"with --packages org.apache.iceberg:iceberg-spark-"
+                    f"runtime-<spark_ver> and set spark.sql.catalog."
+                    f"{catalog}=org.apache.iceberg.spark.SparkCatalog, "
+                    f"spark.sql.catalog.{catalog}.type=hadoop, "
+                    f"spark.sql.catalog.{catalog}.warehouse=<path>")
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
+                      f"{catalog}.{namespace}")
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
 
     @staticmethod
     def _fingerprint(config) -> str:
@@ -62,7 +95,20 @@ class CheckpointCatalog:
         if m.get("config_fp") != self.config_fp:
             return False  # config changed -> full rebuild
         info = m["stages"].get(stage)
-        return bool(info) and os.path.exists(
+        if not info:
+            return False
+        if self.backend == "iceberg":
+            # manifest entry + live table + the recorded snapshot still
+            # present (resume contract: a rolled-back table is incomplete)
+            if not self.spark.catalog.tableExists(self._table(stage)):
+                return False
+            snap = info.get("snapshot_id")
+            if snap is None:
+                return True
+            return bool(self.spark.sql(
+                f"SELECT 1 FROM {self._table(stage)}.snapshots "
+                f"WHERE snapshot_id = {int(snap)} LIMIT 1").take(1))
+        return os.path.exists(
             os.path.join(self.path(stage), "_SUCCESS"))
 
     def path(self, stage: str) -> str:
@@ -76,16 +122,25 @@ class CheckpointCatalog:
         ``info`` carries small scalars (e.g. the corpus ndocs alongside the
         vocab table) into the manifest entry."""
         t0 = time.time()
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(stage))
+        if self.backend == "iceberg":
+            w = df.writeTo(self._table(stage)).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(stage))
         out = self.load(stage)
         self._record_metrics(stage, time.time() - t0)
         m = self._manifest()
         if m.get("config_fp") != self.config_fp:
             m = {"config_fp": self.config_fp, "stages": {}}
         entry = {"ts": time.time(), "path": self.path(stage)}
+        if self.backend == "iceberg":
+            entry["table"] = self._table(stage)
+            entry["snapshot_id"] = self._current_snapshot(stage)
         if info:
             entry.update(info)
         m["stages"][stage] = entry
@@ -100,19 +155,26 @@ class CheckpointCatalog:
         hasher.py:186-201). Metrics record the delta's partitions only
         (file list snapshotted before the write; on Iceberg the same
         delta-only numbers come from the new snapshot's manifest)."""
-        before = set(self._stage_files(stage))
         t0 = time.time()
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(stage))
-        new_files = [f for f in self._stage_files(stage) if f not in before]
-        self._record_metrics(stage, time.time() - t0, files=new_files)
+        if self.backend == "iceberg":
+            df.writeTo(self._table(stage)).append()
+            self._record_metrics(stage, time.time() - t0, files=[])
+        else:
+            before = set(self._stage_files(stage))
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(stage))
+            new_files = [f for f in self._stage_files(stage)
+                         if f not in before]
+            self._record_metrics(stage, time.time() - t0, files=new_files)
         m = self._manifest()
         entry = m["stages"].setdefault(
             stage, {"path": self.path(stage)})
         entry["ts"] = time.time()
         entry["appends"] = int(entry.get("appends", 0)) + 1
+        if self.backend == "iceberg":
+            entry["snapshot_id"] = self._current_snapshot(stage)
         if info:
             entry.update(info)
         self._save_manifest(m)
@@ -122,7 +184,15 @@ class CheckpointCatalog:
         return dict(self._manifest()["stages"].get(stage) or {})
 
     def load(self, stage: str) -> DataFrame:
+        if self.backend == "iceberg":
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self.path(stage))
+
+    def _current_snapshot(self, stage: str) -> int | None:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._table(stage)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").first()
+        return int(row["snapshot_id"]) if row else None
 
     def reset(self, stages: list[str] | None = None) -> None:
         """resetdb analogue (S7, cassandra_utils.py:59-86): drop stage
@@ -131,7 +201,10 @@ class CheckpointCatalog:
         import shutil
         m = self._manifest()
         for s in (stages if stages is not None else list(m["stages"])):
-            shutil.rmtree(self.path(s), ignore_errors=True)
+            if self.backend == "iceberg":
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._table(s)}")
+            else:
+                shutil.rmtree(self.path(s), ignore_errors=True)
             m["stages"].pop(s, None)
         self._save_manifest(m)
 
@@ -182,14 +255,34 @@ class CheckpointCatalog:
         snapshot's manifest entries. ``files`` restricts recording to a
         delta's newly-written files (append path) so repeated appends don't
         re-count the whole table."""
-        import pyarrow.parquet as pq
-
-        rows = []
-        files = self._stage_files(stage) if files is None else files
-        for i, f in enumerate(files):
-            md = pq.ParquetFile(f).metadata
-            rows.append((stage, i, md.num_rows, os.path.getsize(f),
-                         int(wall_s * 1000)))
+        rows: list[tuple] = []
+        if self.backend == "iceberg":
+            # per-file lineage from Iceberg metadata tables — zero rescans.
+            # For appends the latest snapshot summary carries the delta
+            # counts (added-records/added-files-size).
+            if files == []:  # append path: delta-only from the snapshot
+                s = self.spark.sql(
+                    f"SELECT summary FROM {self._table(stage)}.snapshots "
+                    f"ORDER BY committed_at DESC LIMIT 1").first()
+                summ = dict(s["summary"]) if s else {}
+                rows.append((stage, -1,
+                             int(summ.get("added-records", 0)),
+                             int(summ.get("added-files-size", 0)),
+                             int(wall_s * 1000)))
+            else:
+                for i, r in enumerate(self.spark.sql(
+                        f"SELECT record_count, file_size_in_bytes "
+                        f"FROM {self._table(stage)}.files").collect()):
+                    rows.append((stage, i, int(r["record_count"]),
+                                 int(r["file_size_in_bytes"]),
+                                 int(wall_s * 1000)))
+        else:
+            import pyarrow.parquet as pq
+            files = self._stage_files(stage) if files is None else files
+            for i, f in enumerate(files):
+                md = pq.ParquetFile(f).metadata
+                rows.append((stage, i, md.num_rows, os.path.getsize(f),
+                             int(wall_s * 1000)))
         per_part = self.spark.createDataFrame(
             rows, "stage string, partition_id int, rows long, bytes long, "
                   "wall_ms long").withColumn("ts", F.current_timestamp())

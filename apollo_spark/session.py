@@ -17,11 +17,18 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "apollo-spark",
               cores: int | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              iceberg_warehouse: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores=None`` -> ``local[$SPARK_GRAFT_CPUS or *]``. On a cluster the
     master is taken from spark-submit and ``cores`` is ignored.
+
+    ``iceberg_warehouse`` (or $SPARK_GRAFT_ICEBERG_WAREHOUSE) configures a
+    hadoop-type Iceberg catalog named ``local`` for
+    CheckpointCatalog(backend="iceberg"); the iceberg-spark runtime jar
+    must be on the classpath ($SPARK_GRAFT_ICEBERG_JAR or
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-*).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
@@ -45,6 +52,20 @@ def get_spark(app_name: str = "apollo-spark",
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))
+    iceberg_warehouse = iceberg_warehouse or os.environ.get(
+        "SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if iceberg_warehouse:
+        b = (b.config("spark.sql.extensions",
+                      "org.apache.iceberg.spark.extensions."
+                      "IcebergSparkSessionExtensions")
+             .config("spark.sql.catalog.local",
+                     "org.apache.iceberg.spark.SparkCatalog")
+             .config("spark.sql.catalog.local.type", "hadoop")
+             .config("spark.sql.catalog.local.warehouse",
+                     iceberg_warehouse))
+        jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+        if jar:
+            b = b.config("spark.jars", jar)
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         b = b.master(master)
     for k, v in (extra_conf or {}).items():

@@ -260,6 +260,35 @@ class TestRefine:
         assert by_cluster["p1"] != by_cluster["x1"]
 
 
+class TestCheckpointPruning:
+    def test_band_probe_prunes_partitions(self, spark, bands, cfg,
+                                          tmp_path):
+        """The bands checkpoint is partitioned by hashtable (physical
+        design O7): an interactive band probe filtered to one hashtable
+        must (a) carry the filter as a PartitionFilter in the scan and
+        (b) actually read fewer files than a full scan — on Iceberg the
+        same layout prunes via partition manifests."""
+        import io
+        from contextlib import redirect_stdout
+
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path), cfg)
+        cat.write("bands", bands, partition_by=["hashtable"])
+        full = cat.load("bands")
+        probe = full.filter(F.col("hashtable") == 3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.explain(True)
+        plan = buf.getvalue()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("hashtable" in ln and "3" in ln for ln in pf), plan
+        nf_probe = (probe.select(F.input_file_name().alias("f"))
+                    .distinct().count())
+        nf_full = (full.select(F.input_file_name().alias("f"))
+                   .distinct().count())
+        assert nf_probe < nf_full
+
+
 class TestRefineQuality:
     def test_refined_miss_rate_beats_cc(self, spark, cfg):
         """G6 quality evidence (round-1 VERDICT #9): on a planted chained
