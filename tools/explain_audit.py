@@ -94,6 +94,50 @@ def main() -> int:
         [("broadcast join used", "BroadcastHashJoin" in p),
          ("left semi", "LeftSemi" in p)]))
 
+    # 5. salted candidate pair join (text ladder): join key carries the
+    # salt; no cartesian product anywhere in the quadratic step
+    from apollo_spark.ops import dedup, similarity
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    cand = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures(docs)))
+    p = plan_of(cand)
+    join_keys = p.split("Join cond")[0] if "Join cond" in p else p
+    sections.append((
+        "salted LSH pair join (hot-key skew: join key = band + salt)", p,
+        [("salt in the join key", "salt" in p),
+         ("no cartesian product", "CartesianProduct" not in p),
+         ("b-side replicated via explode(sequence)", "Generate explode" in p
+          or "explode" in p)]))
+
+    # 6. ANN cosine near-dup: bucketed candidates, exact verify — the
+    # O(n^2)-row explosion of the exact path is gone
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ann = similarity.cosine_neardup_ann(emb, 0.40, dim=64)
+    p = plan_of(ann)
+    sections.append((
+        "cosine near-dup via hyperplane-LSH candidates + exact verify", p,
+        [("bucket equi-join (no cartesian)", "CartesianProduct" not in p),
+         ("join keyed on (tbl, bucket)", "bucket" in p and "tbl" in p),
+         ("JVM-side bucketing (no Python in candidate gen)",
+          "MapInPandas" not in p.split("Filter")[0])]))
+
+    # 7. vocabulary cap: histogram threshold — the only sort-limit is over
+    # the tau tie band (filtered input), never the full feature table.
+    # Cap chosen to land INSIDE the df=1 tie band so the bounded-sort
+    # branch survives (when the cut falls between bands, Catalyst's
+    # PropagateEmptyRelation removes the empty tie side entirely).
+    nfeat = bags_stage.docfreq(feats).count()
+    capped = bags_stage.vocab_table(
+        feats, cfg.with_(vocabulary_size=int(nfeat) - 10))
+    p = plan_of(capped)
+    sections.append((
+        "vocabulary cap (histogram threshold, tie-band-only sort)", p,
+        [("single bounded TakeOrdered (tie band only)",
+          p.split("(1) ")[0].count("TakeOrderedAndProject") <= 1),
+         ("tie band filtered before the sort",
+          "Union" in p and ("(df" in p or "df#" in p))]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
