@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wmh_clusters"] = _flagship_clusters
     q["cluster_eval"] = _cluster_eval_query
     q["refined_clusters"] = _refined_clusters_query
+    q["refined_clusters_walktrap"] = (
+        lambda s, d: _refined_clusters_query(s, d, algorithm="walktrap"))
     q["validate_rows"] = _validate_query
     q["substring_candidates"] = _substring_query
     q["wmh_signature_census"] = lambda s, d: (
@@ -213,17 +215,20 @@ def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalcc.evaluate(cc_stage.clusters(cc), bags, cfg.threshold)
 
 
-def _refined_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _refined_clusters_query(spark: SparkSession, sf_dir: str,
+                            algorithm: str | None = None) -> DataFrame:
     """G6 refinement (reference cmd stage, graph.py:195-297 semantics):
-    per-fat-component label propagation over shared-bucket weights;
-    applyInPandas kernel -> rows-only check."""
+    per-fat-component community detection over shared-bucket weights
+    (core/community.py menu — default label_propagation; 'walktrap' entry
+    mirrors the reference's default algorithm); applyInPandas kernel ->
+    rows-only check, kernels oracled in tests/test_community.py."""
     from apollo_spark.stages import refine
     images = _docs_as_images(_docs(spark, sf_dir))
     cfg = _FLAGSHIP_CFG
     bags = bags_stage.run(images, cfg)
     _, bands = hashst.run(bags, cfg)
     cc = cc_stage.connected_components(bands, cfg, all_ids=images)
-    return refine.refine_components(cc, bands, cfg)
+    return refine.refine_components(cc, bands, cfg, algorithm=algorithm)
 
 
 def _validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:

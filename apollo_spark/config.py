@@ -47,6 +47,13 @@ class PipelineConfig:
                                     # L=16 on 60k synthetic captions: 92% of
                                     # docs swept into clusters vs ~40% truth)
 
+    # G6 community refinement: which per-component algorithm splits fat CCs
+    # (reference --algorithm, __main__.py:176-179; igraph menu replaced by
+    # the NumPy kernels in core/community.py). label_propagation is the
+    # cheapest; multilevel/fastgreedy/walktrap/leading_eigenvector are the
+    # modularity-based options (walktrap = the reference's default).
+    community_algorithm: str = "label_propagation"
+
     # Scale / skew controls (north_rule: salted repartitioning + AQE)
     bucket_pair_cap: int = 64       # buckets larger than this never emit quadratic
                                     # pairs (linear/bipartite mode instead) —

@@ -1,0 +1,376 @@
+"""Community-detection kernel menu over one component's weighted adjacency.
+
+The reference delegates per-component community detection to igraph
+(`CommunityDetector`, /root/reference/apollo/graph.py:272-297): the user
+picks ``community_<algorithm>`` via --algorithm (__main__.py:176-179),
+walktrap being the documented default (doc/cmd/cmd.md). The north_rule
+sanctions replacing igraph with DataFrame-native clustering; this module is
+the kernel half of that replacement — pure-NumPy implementations of the
+most-used algorithms from that menu, each deterministic (fixed sweep order,
+first-index tie-breaks, no RNG) so cluster ids are reproducible run-to-run:
+
+  label_propagation    Raghavan/Albert/Kumara 2007 (async sweep, weighted)
+  multilevel           Blondel et al. 2008 "Louvain" (local moves + aggregate)
+  fastgreedy           Clauset/Newman/Moore 2004 (greedy modularity merge,
+                       cut at the max-Q point of the dendrogram)
+  walktrap             Pons/Latapy 2005 (t-step random-walk distances, Ward
+                       merges, cut at max modularity)
+  leading_eigenvector  Newman 2006 (recursive spectral bisection of the
+                       modularity matrix, power iteration)
+
+Scale contract: these run INSIDE a grouped applyInPandas task, one component
+per call, components bounded by refine's max_kernel_size (4k) — dense O(n²)
+state is deliberate at that size (<= 128 MB float64). Merge loops keep
+per-step work O(n) amortized (row-max caches, incremental Q) so the worst
+component costs O(n²); walktrap additionally needs one O(n³) BLAS matmul
+for P^t and falls back to multilevel above WALKTRAP_CAP members
+(documented, same triage spirit as the reference's quadratic->linear edge
+switch, graph.py:209-249).
+
+Every function takes a symmetric nonnegative float adjacency with zero
+diagonal and returns an int label per node; detect() canonicalizes labels
+to the smallest member index of each community.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ALGORITHMS = ("label_propagation", "multilevel", "fastgreedy",
+              "walktrap", "leading_eigenvector")
+WALKTRAP_CAP = 1536      # n³ matmul guard; above this walktrap -> multilevel
+
+
+def detect(adj: np.ndarray, algorithm: str = "label_propagation",
+           rounds: int = 5) -> np.ndarray:
+    """Dispatch to one of ALGORITHMS; returns canonical labels."""
+    n = adj.shape[0]
+    if n <= 2 or adj.max() <= 0:
+        return np.zeros(n, dtype=np.int64)
+    if algorithm == "label_propagation":
+        labels = label_propagation(adj, rounds)
+    elif algorithm == "multilevel":
+        labels = multilevel(adj)
+    elif algorithm == "fastgreedy":
+        labels = fastgreedy(adj)
+    elif algorithm == "walktrap":
+        labels = (walktrap(adj) if n <= WALKTRAP_CAP else multilevel(adj))
+    elif algorithm == "leading_eigenvector":
+        labels = leading_eigenvector(adj)
+    else:
+        raise ValueError(f"unknown community algorithm {algorithm!r}; "
+                         f"choose from {ALGORITHMS}")
+    return _canonicalize(labels)
+
+
+def modularity(adj: np.ndarray, labels: np.ndarray) -> float:
+    """Newman-Girvan weighted modularity Q of a partition (zero-diagonal
+    adjacency). Used by the quality tests and the dendrogram-cut checks."""
+    m2 = float(adj.sum())
+    if m2 <= 0:
+        return 0.0
+    k = adj.sum(axis=1)
+    q = 0.0
+    for c in np.unique(labels):
+        ix = np.flatnonzero(labels == c)
+        q += adj[np.ix_(ix, ix)].sum() / m2 - (k[ix].sum() / m2) ** 2
+    return float(q)
+
+
+def _canonicalize(labels: np.ndarray) -> np.ndarray:
+    """Rewrite each community's label to its smallest member index."""
+    out = np.empty(len(labels), dtype=np.int64)
+    reps: dict[int, int] = {}
+    for i, lab in enumerate(labels):
+        reps.setdefault(int(lab), i)
+        out[i] = reps[int(lab)]
+    return out
+
+
+def label_propagation(adj: np.ndarray, rounds: int = 5) -> np.ndarray:
+    """Deterministic asynchronous weighted LPA: nodes sweep in index order,
+    adopt the label with max incident weight, ties to the smallest label."""
+    n = adj.shape[0]
+    labels = np.arange(n)
+    for _ in range(rounds):
+        changed = False
+        for i in range(n):
+            w = np.bincount(labels, weights=adj[i], minlength=n)
+            best = int(np.flatnonzero(w == w.max())[0])
+            if w[best] > 0 and labels[i] != best:
+                labels[i] = best
+                changed = True
+        if not changed:
+            break
+    return labels
+
+
+def _louvain_local_moves(adj: np.ndarray, max_sweeps: int = 20) -> np.ndarray:
+    """One Louvain level: greedy ΔQ node moves until a sweep changes
+    nothing. ``adj`` may carry self-loops on the diagonal (aggregated
+    levels); a self-loop of weight w contributes 2w to its node's degree."""
+    n = adj.shape[0]
+    off = adj.copy()
+    self_w = np.diag(adj).copy()
+    np.fill_diagonal(off, 0.0)
+    k = off.sum(axis=1) + 2.0 * self_w           # weighted degrees
+    m2 = float(k.sum())                          # = 2m
+    if m2 <= 0:
+        return np.arange(n)
+    labels = np.arange(n)
+    tot = k.copy()                               # Σtot per community
+    for _ in range(max_sweeps):
+        moved = False
+        for i in range(n):
+            cur = int(labels[i])
+            tot[cur] -= k[i]
+            # weight from i into each community (self-loop excluded: it
+            # moves with the node, cancelling in the gain comparison)
+            w_to = np.bincount(labels, weights=off[i], minlength=n)
+            gain = w_to - k[i] * tot / m2
+            cand = np.flatnonzero(w_to > 0)      # touched communities
+            if len(cand) == 0:
+                tot[cur] += k[i]
+                continue
+            best = int(cand[np.argmax(gain[cand])])
+            if gain[best] <= gain[cur] + 1e-12:  # strict improvement only
+                best = cur
+            tot[best] += k[i]
+            if best != cur:
+                labels[i] = best
+                moved = True
+        if not moved:
+            break
+    return labels
+
+
+def multilevel(adj: np.ndarray) -> np.ndarray:
+    """Louvain (Blondel et al. 2008): local moves, aggregate communities
+    into supernodes (intra weight -> self-loop), repeat until a level makes
+    no merge."""
+    node_lab = np.arange(adj.shape[0])
+    level_adj = adj.astype(np.float64, copy=True)
+    while True:
+        lab = _louvain_local_moves(level_adj)
+        uniq, dense = np.unique(lab, return_inverse=True)
+        c = len(uniq)
+        if c == level_adj.shape[0]:
+            break
+        node_lab = dense[node_lab]
+        onehot = np.zeros((level_adj.shape[0], c))
+        onehot[np.arange(level_adj.shape[0]), dense] = 1.0
+        agg = onehot.T @ level_adj @ onehot
+        # diagonal: (Σ_{i≠j∈C} A_ij + Σ_{i∈C} A_ii) summed; stored self-loop
+        # S must satisfy 2S = Σ_{i≠j} A_ij + 2 Σ A_ii (degree preserved)
+        member_self = onehot.T @ np.diag(level_adj)
+        np.fill_diagonal(agg, (np.diag(agg) + member_self) / 2.0)
+        level_adj = agg
+        if c == 1:
+            break
+    return node_lab
+
+
+def fastgreedy(adj: np.ndarray) -> np.ndarray:
+    """Clauset-Newman-Moore greedy modularity agglomeration: start from
+    singletons, repeatedly merge the connected pair with the largest ΔQ
+    (first-index tie-break), record Q along the dendrogram, return the
+    partition at the max-Q cut. Row-max caching keeps each merge O(n)
+    amortized (full-row rescans only when a cached argmax is invalidated)."""
+    n = adj.shape[0]
+    m2 = float(adj.sum())
+    if m2 <= 0:
+        return np.arange(n)
+    W = adj.astype(np.float64) / m2              # e_ij fractions
+    a = W.sum(axis=1)
+    alive = np.ones(n, dtype=bool)
+    NEG = -np.inf
+
+    def dq_row(i: int) -> np.ndarray:
+        row = np.where((W[i] > 0) & alive, 2.0 * (W[i] - a[i] * a), NEG)
+        row[i] = NEG
+        return row
+
+    DQ = np.full((n, n), NEG)
+    for i in range(n):
+        DQ[i] = dq_row(i)
+    rowmax = DQ.max(axis=1)
+    rowarg = DQ.argmax(axis=1)
+
+    parent = np.arange(n)
+    merges: list[tuple[int, int]] = []
+    q = float(-np.sum(a ** 2))                   # Q of the singleton cut
+    q_hist = [q]
+    for _ in range(n - 1):
+        i = int(np.argmax(rowmax))
+        if not np.isfinite(rowmax[i]):
+            break
+        j = int(rowarg[i])
+        if i > j:
+            i, j = j, i
+        q += 2.0 * (W[i, j] - a[i] * a[j])
+        q_hist.append(q)
+        merges.append((i, j))
+        # fold j into i
+        W[i] += W[j]
+        W[:, i] += W[:, j]
+        W[i, i] = 0.0
+        a[i] += a[j]
+        alive[j] = False
+        W[j] = 0.0
+        W[:, j] = 0.0
+        a[j] = 0.0
+        DQ[i] = dq_row(i)
+        rowmax[i], rowarg[i] = DQ[i].max(), DQ[i].argmax()
+        rowmax[j] = NEG
+        DQ[j] = NEG
+        # column i changed for every alive row x: patch entry i, and entry j
+        # died; rescan a row only if its cached argmax is invalidated
+        live = np.flatnonzero(alive)
+        for x in live:
+            if x == i:
+                continue
+            vi = (2.0 * (W[x, i] - a[x] * a[i])
+                  if W[x, i] > 0 else NEG)
+            DQ[x, i] = vi
+            DQ[x, j] = NEG
+            if vi >= rowmax[x]:
+                rowmax[x], rowarg[x] = vi, i
+            elif rowarg[x] == i or rowarg[x] == j:
+                rowmax[x], rowarg[x] = DQ[x].max(), DQ[x].argmax()
+    best_cut = int(np.argmax(q_hist))            # merges to apply
+    for i, j in merges[:best_cut]:
+        parent[_find(parent, j)] = _find(parent, i)
+    return np.array([_find(parent, x) for x in range(n)])
+
+
+def _find(parent: np.ndarray, x: int) -> int:
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return int(x)
+
+
+def walktrap(adj: np.ndarray, t: int = 4) -> np.ndarray:
+    """Pons-Latapy walktrap: communities whose t-step random-walk
+    distributions are close. Node i's comparable vector is row i of
+    P^t scaled by 1/sqrt(d); merges are Ward-style (minimize
+    Δσ = |C1||C2|/(|C1|+|C2|) · ||vec1 - vec2||²) restricted to adjacent
+    communities; the dendrogram is cut at max modularity (tracked
+    incrementally). One O(n³) BLAS matmul for P^t; merge loop is O(n²)
+    via per-merge row recomputes."""
+    n = adj.shape[0]
+    deg = adj.sum(axis=1)
+    deg_safe = np.where(deg > 0, deg, 1.0)
+    P = adj / deg_safe[:, None]
+    iso = np.flatnonzero(deg == 0)
+    P[iso, iso] = 1.0                            # isolated walks stay put
+    Pt = np.linalg.matrix_power(P, t)
+    X = Pt / np.sqrt(deg_safe)[None, :]          # comparable vectors
+
+    size = np.ones(n)
+    vec = X.copy()                               # running MEAN per community
+    alive = np.ones(n, dtype=bool)
+    neigh = adj > 0
+    np.fill_diagonal(neigh, False)
+    # incremental modularity state (fractions)
+    m2 = float(adj.sum())
+    Wc = adj.astype(np.float64) / m2
+    a = Wc.sum(axis=1)
+
+    # pairwise Ward costs for adjacent singletons: 0.5 * ||xi - xj||²
+    sq = (X ** 2).sum(axis=1)
+    D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    DS = np.where(neigh, 0.5 * D2, np.inf)
+
+    parent = np.arange(n)
+    q = float(-np.sum(a ** 2))
+    q_best = q
+    cut_best = 0
+    merges: list[tuple[int, int]] = []
+    for _ in range(n - 1):
+        flat = int(np.argmin(DS))
+        i, j = divmod(flat, n)
+        if not np.isfinite(DS[i, j]):
+            break
+        if i > j:
+            i, j = j, i
+        q += 2.0 * (Wc[i, j] - a[i] * a[j])
+        merges.append((i, j))
+        # merge j into i
+        vec[i] = (size[i] * vec[i] + size[j] * vec[j]) / (size[i] + size[j])
+        size[i] += size[j]
+        Wc[i] += Wc[j]
+        Wc[:, i] += Wc[:, j]
+        a[i] += a[j]
+        alive[j] = False
+        Wc[j] = 0.0
+        Wc[:, j] = 0.0
+        a[j] = 0.0
+        neigh[i] |= neigh[j]
+        neigh[:, i] |= neigh[:, j]
+        neigh[i, i] = False
+        neigh[j] = False
+        neigh[:, j] = False
+        DS[j, :] = np.inf
+        DS[:, j] = np.inf
+        js = np.flatnonzero(alive & neigh[i])
+        DS[i, :] = np.inf
+        DS[:, i] = np.inf
+        if len(js):
+            d2 = ((vec[js] - vec[i]) ** 2).sum(axis=1)
+            ds = (size[i] * size[js] / (size[i] + size[js])) * d2
+            DS[i, js] = ds
+            DS[js, i] = ds
+        if q > q_best + 1e-12:
+            q_best = q
+            cut_best = len(merges)
+    for i, j in merges[:cut_best]:
+        parent[_find(parent, j)] = _find(parent, i)
+    return np.array([_find(parent, x) for x in range(n)])
+
+
+def leading_eigenvector(adj: np.ndarray, min_gain: float = 1e-9,
+                        iters: int = 200) -> np.ndarray:
+    """Newman 2006 spectral method: recursively bisect by the sign of the
+    leading eigenvector of the (generalized) modularity matrix, via shifted
+    power iteration with a deterministic start vector; stop a branch when
+    the split no longer increases Q."""
+    n = adj.shape[0]
+    m2 = float(adj.sum())
+    if m2 <= 0:
+        return np.arange(n)
+    k = adj.sum(axis=1)
+    B = adj - np.outer(k, k) / m2
+    labels = np.zeros(n, dtype=np.int64)
+    next_label = 1
+    stack = [np.arange(n)]
+    while stack:
+        g = stack.pop()
+        if len(g) < 2:
+            continue
+        Bg = B[np.ix_(g, g)]
+        # Newman's subgraph correction: row sums forced to zero within g
+        Bg = Bg - np.diag(Bg.sum(axis=1))
+        shift = float(np.abs(Bg).sum(axis=1).max()) or 1.0
+        v = np.cos(np.arange(len(g), dtype=np.float64))  # deterministic seed
+        v /= np.linalg.norm(v)
+        for _ in range(iters):
+            nv = Bg @ v + shift * v
+            norm = np.linalg.norm(nv)
+            if norm < 1e-30:
+                break
+            nv /= norm
+            if np.abs(nv - v).max() < 1e-10:
+                v = nv
+                break
+            v = nv
+        s = np.where(v >= 0, 1.0, -1.0)
+        gain = float(s @ Bg @ s) / (2.0 * m2)
+        if gain <= min_gain or len(np.unique(s)) < 2:
+            continue
+        left, right = g[s >= 0], g[s < 0]
+        labels[right] = next_label
+        next_label += 1
+        stack.append(left)
+        stack.append(right)
+    return labels

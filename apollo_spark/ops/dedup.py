@@ -55,14 +55,17 @@ def word_shingles(docs: DataFrame, w: int = DEFAULT_SHINGLE_W) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K,
-                       w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+                       w: int = DEFAULT_SHINGLE_W,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Portable MinHash signatures, long format: (doc_id, perm, minhash).
 
     Permutation i hashes each shingle as md5(i || ':' || shingle) -> 60-bit
     int; signature element = min. One explode (k rows per shingle) + one
     partial-agg shuffle on doc_id. k stays small (k·n rows in flight);
-    for the 128-sample weighted variant use stages/hashst.py."""
-    sh = word_shingles(docs, w)
+    for the 128-sample weighted variant use stages/hashst.py. Pass a
+    precomputed/persisted ``shingles`` table to share the extraction with a
+    downstream verify pass (one scan instead of two)."""
+    sh = shingles if shingles is not None else word_shingles(docs, w)
     perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
     hashed = (sh.select("doc_id", "shingle", perms)
               .select("doc_id", "perm",
@@ -163,22 +166,30 @@ def dup_edges(docs: DataFrame, threshold: float = 0.7,
     from normal buckets (quadratic mode) UNION star edges from over-cap hot
     buckets (linear mode) — the adaptive analogue of the reference's
     --edges quadratic/linear switch (__main__.py:170-175, graph.py:209-249),
-    chosen per bucket instead of per run."""
-    bands = lsh_bands(minhash_signatures(docs, k, w), r).localCheckpoint()
-    verified = (jaccard(docs, candidate_pairs(bands), w)
+    chosen per bucket instead of per run.
+
+    The shingle table is extracted ONCE and persisted for both consumers
+    (signatures here, exact-Jaccard verify downstream) — at corpus scale the
+    extraction scan dominates, and the checkpointed image pipeline does the
+    same via the bags stage."""
+    sh = word_shingles(docs, w).persist()
+    bands = lsh_bands(minhash_signatures(docs, k, w, shingles=sh),
+                      r).localCheckpoint()
+    verified = (jaccard(docs, candidate_pairs(bands), w, shingles=sh)
                 .filter(F.col("jaccard") >= threshold)
                 .select("a", "b"))
     return verified.unionByName(hot_bucket_edges(bands)).distinct()
 
 
 def jaccard(docs: DataFrame, pairs: DataFrame,
-            w: int = DEFAULT_SHINGLE_W) -> DataFrame:
+            w: int = DEFAULT_SHINGLE_W,
+            shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for given (a, b) pairs:
     (a, b, jaccard double). Set sizes are broadcast-joined onto the
     intersection counts; |∩| via a shingle equi-join restricted to the
     candidate pairs (semi-filtered so only candidate docs' shingles
-    shuffle)."""
-    sh = word_shingles(docs, w)
+    shuffle). Pass ``shingles`` to reuse an already-extracted table."""
+    sh = shingles if shingles is not None else word_shingles(docs, w)
     ids = (pairs.select(F.col("a").alias("doc_id"))
            .union(pairs.select("b")).distinct())
     sh = sh.join(ids, "doc_id", "left_semi")
@@ -206,9 +217,12 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.7,
                   k: int = DEFAULT_K, r: int = DEFAULT_R,
                   w: int = DEFAULT_SHINGLE_W) -> DataFrame:
     """Full MinHash+LSH near-dup pass: verified pairs
-    (a, b, jaccard >= threshold)."""
-    cands = candidate_pairs(lsh_bands(minhash_signatures(docs, k, w), r))
-    return (jaccard(docs, cands, w)
+    (a, b, jaccard >= threshold). One shingle extraction shared by the
+    signature and verify passes (persisted)."""
+    sh = word_shingles(docs, w).persist()
+    cands = candidate_pairs(
+        lsh_bands(minhash_signatures(docs, k, w, shingles=sh), r))
+    return (jaccard(docs, cands, w, shingles=sh)
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -218,7 +232,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     verified exactly. Recall-complete down to 1 shared shingle (unlike
     LSH) but quadratic in shingle df — df-capped, for tight-threshold
     passes at moderate scale or as the LSH recall reference."""
-    sh = word_shingles(docs, w)
+    sh = word_shingles(docs, w).persist()
     dfcap = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
              .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
              .select("shingle"))
@@ -228,7 +242,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                    "shingle")
              .filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
-    return jaccard(docs, cands, w).filter(F.col("jaccard") >= threshold)
+    return (jaccard(docs, cands, w, shingles=sh)
+            .filter(F.col("jaccard") >= threshold))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

@@ -107,15 +107,21 @@ def main(argv=None) -> int:
     ap.add_argument("--no-extensions", action="store_true")
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--refine", action="store_true",
-                    help="per-component label-propagation refinement of "
+                    help="per-component community refinement of "
                          "fat CCs (the reference's cmd stage)")
+    ap.add_argument("--algorithm", default=DEFAULT.community_algorithm,
+                    help="community algorithm for --refine (reference "
+                         "__main__.py:176-179): label_propagation | "
+                         "multilevel | fastgreedy | walktrap | "
+                         "leading_eigenvector")
     args = ap.parse_args(argv)
 
     from apollo_spark.session import get_spark
     spark = get_spark("apollo-pipeline", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(seed=args.seed, size=args.size,
-                         threshold=args.threshold)
+                         threshold=args.threshold,
+                         community_algorithm=args.algorithm)
     if args.images:
         images = spark.read.parquet(args.images)
         if "gt_cluster" in images.columns:

@@ -2,17 +2,19 @@
 
 The reference routes connected components by size (graph.py:213-219): size-1
 dropped, size-2 kept as-is, size >= 3 ("fat") refined by igraph community
-detection (walktrap by default, graph.py:272-297) over the doc<->bucket
-bipartite subgraph with bucket-size edge weights (graph.py:221-253). The
-north_rule replaces igraph with DataFrame-native clustering: this stage is
-the refinement half — weighted label propagation (the reference exposes
-igraph's community_label_propagation as one of its algorithms,
-graph.py:277-289) inside a grouped applyInPandas kernel, one group per fat
-component.
+detection (walktrap by default, user-selectable via --algorithm,
+graph.py:272-297 + __main__.py:176-179) over the doc<->bucket bipartite
+subgraph with bucket-size edge weights (graph.py:221-253). The north_rule
+replaces igraph with DataFrame-native clustering: this stage is the
+refinement half — the shared-bucket weighted adjacency is built per
+component inside a grouped applyInPandas kernel and handed to the selected
+algorithm from core/community.py (label_propagation | multilevel |
+fastgreedy | walktrap | leading_eigenvector — the same menu shape as the
+reference's CommunityDetector).
 
 LSH transitive chaining is the failure mode this corrects: A~B and B~C can
-co-bucket without A~C; CC alone would keep {A,B,C} together. Label
-propagation over shared-bucket weights splits weakly-bridged agglomerates
+co-bucket without A~C; CC alone would keep {A,B,C} together. Community
+detection over shared-bucket weights splits weakly-bridged agglomerates
 while leaving genuine cliques intact.
 
 Scale shape: components are small by construction (bucket caps bound the
@@ -31,35 +33,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apollo_spark.config import PipelineConfig
+from apollo_spark.core import community
 
 REFINE_SCHEMA = "image_id string, cluster_id string"
 MAX_BUCKET_FANIN = 256  # buckets larger than this add no community signal
                         # (near-uniform weight) — skipped in the kernel
 
 
-def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
-    """Deterministic asynchronous LPA on one component.
+def _component_adjacency(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted member ids, shared-bucket weighted adjacency) for one
+    component's membership rows (image_id, hashtable, band).
 
-    Nodes = docs; edge weight = number of shared buckets (the bipartite
-    incidence squared, the same weighting the reference's linear mode feeds
-    igraph, graph.py:222-233). Updates sweep docs in sorted-id order; ties
-    break toward the smallest label; converged when a full sweep changes
-    nothing."""
-    cc_id = str(pdf["cc_id"].iloc[0])
+    Edge weight = number of shared buckets (the bipartite incidence
+    squared — the same weighting the reference's linear mode feeds igraph,
+    graph.py:222-233), accumulated bucket-by-bucket WITHOUT the dense
+    (n x buckets) incidence (round-1 VERDICT #5: at 20k members x ~13
+    tables that matrix alone was >= 1.6 GB). Bucket keys stay (int, bytes)
+    tuples — the band column is an opaque binary blob, never valid UTF-8.
+    Buckets above MAX_BUCKET_FANIN members are skipped: a bucket shared by
+    most of the component adds near-uniform weight (no community signal)
+    at O(k²) accumulation cost."""
     docs = np.sort(pdf["image_id"].unique())
-    n = len(docs)
-    if n <= 2:
-        return pd.DataFrame({"image_id": docs,
-                             "cluster_id": [cc_id] * n})
     doc_ix = {d: i for i, d in enumerate(docs)}
-    # Shared-bucket adjacency WITHOUT the dense (n x buckets) incidence
-    # (round-1 VERDICT #5: at 20k members x ~13 tables that matrix alone
-    # was >= 1.6 GB): accumulate each bucket's member-index block directly
-    # into the n x n adjacency. Bucket keys stay (int, bytes) tuples — the
-    # band column is an opaque binary blob, never valid UTF-8. Buckets
-    # above MAX_BUCKET_FANIN members are skipped: a bucket shared by most
-    # of the component adds near-uniform weight (no community signal) at
-    # O(k²) accumulation cost.
+    n = len(docs)
     groups: dict[tuple[int, bytes], list[int]] = {}
     for d, ht, band in zip(pdf["image_id"], pdf["hashtable"], pdf["band"]):
         groups.setdefault((int(ht), bytes(band)), []).append(doc_ix[d])
@@ -69,33 +65,33 @@ def _label_propagation(pdf: pd.DataFrame, rounds: int) -> pd.DataFrame:
             ix = np.asarray(sorted(set(members)), dtype=np.int64)
             adj[np.ix_(ix, ix)] += np.float32(1.0)
     np.fill_diagonal(adj, 0.0)
+    return docs, adj
 
-    labels = np.arange(n)
-    for _ in range(rounds):
-        changed = False
-        for i in range(n):
-            w = np.bincount(labels, weights=adj[i], minlength=n)
-            best = int(np.flatnonzero(w == w.max())[0])  # min-label tie-break
-            if w[best] > 0 and labels[i] != best:
-                labels[i] = best
-                changed = True
-        if not changed:
-            break
-    reps = {}
-    for i in range(n):
-        reps.setdefault(labels[i], docs[i])  # docs sorted -> min member id
+
+def _refine_kernel(pdf: pd.DataFrame, algorithm: str,
+                   rounds: int) -> pd.DataFrame:
+    """Community-detect one component; labels -> '<cc_id>#<min member>'."""
+    cc_id = str(pdf["cc_id"].iloc[0])
+    docs, adj = _component_adjacency(pdf)
+    n = len(docs)
+    if n <= 2:
+        return pd.DataFrame({"image_id": docs, "cluster_id": [cc_id] * n})
+    labels = community.detect(adj, algorithm, rounds)
+    # canonical label = smallest member index -> docs sorted gives min id
     return pd.DataFrame({
         "image_id": docs,
-        "cluster_id": [f"{cc_id}#{reps[labels[i]]}" for i in range(n)],
+        "cluster_id": [f"{cc_id}#{docs[lab]}" for lab in labels],
     })
 
 
 def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
                       min_size: int = 3, rounds: int = 5,
-                      max_kernel_size: int = 4_000) -> DataFrame:
+                      max_kernel_size: int = 4_000,
+                      algorithm: str | None = None) -> DataFrame:
     """cc(image_id, cc_id) x memb(image_id, hashtable, band) ->
     (image_id, cluster_id); fat components refined, size-2 passed through,
-    singletons dropped (graph.py:213-219 triage).
+    singletons dropped (graph.py:213-219 triage). ``algorithm`` overrides
+    cfg.community_algorithm (one of core.community.ALGORITHMS).
 
     Skew guard: applyInPandas assigns ONE task per group, so a pathological
     mega-component (hot-bucket chaining) would pin a straggler executor and
@@ -104,6 +100,10 @@ def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
     their CC id — the
     same linear-mode escape hatch the reference flips to when quadratic
     edge generation explodes (graph.py:209-249, __main__.py:170-175)."""
+    algo = algorithm or cfg.community_algorithm
+    if algo not in community.ALGORITHMS:
+        raise ValueError(f"unknown community algorithm {algo!r}; "
+                         f"choose from {community.ALGORITHMS}")
     sizes = cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs_only = (cc.join(sizes.filter("n = 2"), "cc_id")
                   .select("image_id", F.col("cc_id").alias("cluster_id")))
@@ -115,7 +115,7 @@ def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
            .select("cc_id", "image_id", "hashtable", "band"))
 
     def kernel(key, pdf):
-        return _label_propagation(pdf, rounds)
+        return _refine_kernel(pdf, algo, rounds)
 
     refined = sub.groupBy("cc_id").applyInPandas(kernel, REFINE_SCHEMA)
     # fat-component members with no membership rows (possible only when cc

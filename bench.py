@@ -86,7 +86,7 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else 0.1
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_plus_e2e_dedup_pipeline_total",
         "value": total,
         "unit": "sec",
@@ -95,8 +95,42 @@ def main() -> int:
         "pipeline_rows": n,
         "pipeline_images_per_sec": round(n / pipeline_sec, 1),
         "cpus": CPUS,
-    }))
+    }
+    prev = _load_prev_bench()
+    if prev:
+        out["vs_prev"] = {
+            q: round(t / prev[q], 3) for q, t in timings.items()
+            if prev.get(q)
+        }
+        out["vs_prev_round"] = prev["_round"]
+    print(json.dumps(out))
     return 0
+
+
+def _load_prev_bench() -> dict | None:
+    """Per-query timings from the newest BENCH_r{N}.json next to this file,
+    keyed by query name plus '_round'; None if no prior round exists or it
+    ran at a different sf/cpus (ratios would be meaningless). Feeds the
+    'vs_prev' self-reporting ratios (>1 = slower than last round)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _rnd, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            q = parsed.get("queries")
+            if q and parsed.get("sf") == float(
+                    re.search(r"sf([\d.]+)", SF_DIR).group(1).rstrip(".")) \
+                    and parsed.get("cpus") == CPUS:
+                return {**q, "_round": _rnd}
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

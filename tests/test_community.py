@@ -1,0 +1,183 @@
+"""Community-detection kernel menu tests (core/community.py).
+
+The reference hands each fat component to igraph's community_<algorithm>
+(graph.py:272-297, walktrap default); these tests certify the NumPy
+replacements on planted structures: bridged cliques must split, cliques
+must stay intact, partitions must be deterministic, and the
+modularity-based algorithms must match or beat LPA's modularity (the
+quality number behind replacing igraph, round-1 VERDICT G6)."""
+
+import numpy as np
+import pytest
+
+from apollo_spark.core import community as cm
+
+MODULARITY_ALGOS = ("multilevel", "fastgreedy", "walktrap",
+                    "leading_eigenvector")
+
+
+def planted(sizes, bridges, w_intra=1.0, w_bridge=1.0):
+    """Block-clique adjacency with bridge edges; returns (adj, blocks)."""
+    n = sum(sizes)
+    adj = np.zeros((n, n))
+    blocks, start = [], 0
+    for s in sizes:
+        ix = np.arange(start, start + s)
+        adj[np.ix_(ix, ix)] = w_intra
+        blocks.append(ix)
+        start += s
+    np.fill_diagonal(adj, 0.0)
+    for a, b in bridges:
+        adj[a, b] = adj[b, a] = w_bridge
+    return adj, blocks
+
+
+def groups(labels):
+    out = {}
+    for i, lab in enumerate(labels):
+        out.setdefault(int(lab), set()).add(i)
+    return sorted(map(frozenset, out.values()), key=min)
+
+
+class TestKernels:
+    @pytest.mark.parametrize("alg", cm.ALGORITHMS)
+    def test_single_clique_stays_whole(self, alg):
+        adj, _ = planted([8], [])
+        assert len(set(cm.detect(adj, alg).tolist())) == 1
+
+    @pytest.mark.parametrize("alg", cm.ALGORITHMS)
+    def test_deterministic(self, alg):
+        adj, _ = planted([5, 4, 6], [(4, 5), (8, 9)])
+        l1, l2 = cm.detect(adj, alg), cm.detect(adj, alg)
+        assert (l1 == l2).all()
+
+    @pytest.mark.parametrize("alg", cm.ALGORITHMS)
+    def test_canonical_labels_are_min_member(self, alg):
+        adj, _ = planted([4, 4], [])
+        lab = cm.detect(adj, alg)
+        for g in groups(lab):
+            assert all(lab[i] == min(g) for i in g)
+
+    @pytest.mark.parametrize("alg", MODULARITY_ALGOS)
+    def test_bridged_cliques_split(self, alg):
+        """Two 5-cliques + one bridge: the canonical chained-component
+        case. LPA is known to flood across an unweighted bridge here;
+        every modularity-based algorithm must split it."""
+        adj, blocks = planted([5, 5], [(4, 5)])
+        lab = cm.detect(adj, alg)
+        assert len(set(lab.tolist())) == 2
+        for b in blocks:
+            assert len(set(lab[b].tolist())) == 1
+
+    @pytest.mark.parametrize("alg", MODULARITY_ALGOS)
+    def test_ring_of_cliques(self, alg):
+        adj, blocks = planted([6, 6, 6, 6],
+                              [(5, 6), (11, 12), (17, 18), (23, 0)])
+        lab = cm.detect(adj, alg)
+        assert len(set(lab.tolist())) == 4
+        for b in blocks:
+            assert len(set(lab[b].tolist())) == 1
+
+    @pytest.mark.parametrize("alg", cm.ALGORITHMS)
+    def test_weighted_chain_split(self, alg):
+        """Three weighted cliques chained by weak bridges (the
+        shared-bucket weighting refine actually feeds): ALL algorithms,
+        including LPA, must recover the three groups."""
+        adj, blocks = planted([3, 3, 3], [(2, 3), (5, 6)],
+                              w_intra=3.0, w_bridge=0.5)
+        lab = cm.detect(adj, alg)
+        assert len(set(lab.tolist())) == 3
+        for b in blocks:
+            assert len(set(lab[b].tolist())) == 1
+
+    @pytest.mark.parametrize("alg", MODULARITY_ALGOS)
+    def test_modularity_at_least_lpa(self, alg):
+        """The igraph-replacement quality gate: on the chained fixture each
+        modularity algorithm's Q must match or beat LPA's."""
+        adj, _ = planted([5, 5, 4], [(4, 5), (9, 10)])
+        q_lpa = cm.modularity(adj, cm.detect(adj, "label_propagation"))
+        q_alg = cm.modularity(adj, cm.detect(adj, alg))
+        assert q_alg >= q_lpa - 1e-12
+
+    def test_walktrap_matches_known_partition_weighted(self):
+        adj, blocks = planted([4, 4], [(3, 4)], w_intra=2.0, w_bridge=0.25)
+        lab = cm.detect(adj, "walktrap")
+        assert groups(lab) == [frozenset(blocks[0].tolist()),
+                               frozenset(blocks[1].tolist())]
+
+    def test_walktrap_cap_falls_back(self, monkeypatch):
+        """Above WALKTRAP_CAP the dispatcher must route to multilevel
+        (the documented O(n³) guard), not run the matmul."""
+        monkeypatch.setattr(cm, "WALKTRAP_CAP", 8)
+        called = {}
+
+        def boom(adj, t=4):  # pragma: no cover - must not run
+            called["walktrap"] = True
+            raise AssertionError("walktrap ran above its cap")
+
+        monkeypatch.setattr(cm, "walktrap", boom)
+        adj, _ = planted([5, 5], [(4, 5)])
+        lab = cm.detect(adj, "walktrap")
+        assert "walktrap" not in called
+        assert len(set(lab.tolist())) == 2
+
+    def test_unknown_algorithm_raises(self):
+        adj, _ = planted([4], [])
+        with pytest.raises(ValueError, match="unknown community"):
+            cm.detect(adj, "spinglass_typo")
+
+    def test_empty_and_tiny(self):
+        for alg in cm.ALGORITHMS:
+            assert cm.detect(np.zeros((2, 2)), alg).tolist() == [0, 0]
+            assert cm.detect(np.zeros((0, 0)), alg).tolist() == []
+
+    def test_modularity_value(self):
+        """Hand-checked Q: two disconnected 3-cliques, perfect partition.
+        Q = sum_c (e_cc - a_c^2) = 2*(0.5 - 0.25) = 0.5."""
+        adj, _ = planted([3, 3], [])
+        lab = np.array([0, 0, 0, 1, 1, 1])
+        assert cm.modularity(adj, lab) == pytest.approx(0.5)
+
+
+class TestRefineAlgorithms:
+    """The Spark seam: refine_components(algorithm=...) dispatches each fat
+    component to the selected kernel."""
+
+    @pytest.mark.parametrize("alg", ["multilevel", "walktrap"])
+    def test_bridged_cliques_split_via_spark(self, spark, cfg, alg):
+        from apollo_spark.stages import cc as cc_st
+        from apollo_spark.stages import refine
+        rows = []
+        for g, members in (("a", ["a1", "a2", "a3", "a4"]),
+                           ("b", ["b1", "b2", "b3", "b4"])):
+            for k in range(3):
+                rows += [(m, 0, f"{g}{k}") for m in members]
+        rows += [("a4", 0, "bridge"), ("b1", 0, "bridge")]
+        memb = spark.createDataFrame(
+            [(d, ht, bytes(b, "utf-8")) for d, ht, b in rows],
+            "image_id string, hashtable int, band binary")
+        cc = cc_st.connected_components(memb, cfg)
+        assert cc.select("cc_id").distinct().count() == 1
+        refined = refine.refine_components(cc, memb, cfg, algorithm=alg)
+        by = {r["image_id"]: r["cluster_id"] for r in refined.collect()}
+        assert len(set(by.values())) == 2
+        assert by["a1"] == by["a4"] and by["b1"] == by["b4"]
+        assert by["a1"] != by["b1"]
+
+    def test_config_algorithm_flows_through(self, spark, cfg):
+        from apollo_spark.stages import cc as cc_st
+        from apollo_spark.stages import refine
+        rows = [(m, 0, f"c{k}") for k in range(2) for m in ["x", "y", "z"]]
+        memb = spark.createDataFrame(
+            [(d, ht, bytes(b, "utf-8")) for d, ht, b in rows],
+            "image_id string, hashtable int, band binary")
+        cc = cc_st.connected_components(memb, cfg)
+        out = refine.refine_components(
+            cc, memb, cfg.with_(community_algorithm="fastgreedy"))
+        assert out.count() == 3
+
+    def test_bad_algorithm_raises(self, spark, cfg):
+        from apollo_spark.stages import refine
+        empty = spark.createDataFrame([], "image_id string, cc_id string")
+        with pytest.raises(ValueError, match="unknown community"):
+            refine.refine_components(empty, empty, cfg, algorithm="nope")
