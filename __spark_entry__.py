@@ -114,10 +114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
 
     # --- embeddings (oracled) ---
-    # headline near-dup = the scale path: hyperplane-LSH candidates + exact
-    # 6dp verify; its oracle replicates the bucketing via plane literals so
-    # the hash match covers the FULL ann semantics, not just the verify
-    q["cosine_neardup"] = lambda s, d: similarity.cosine_neardup_ann(
+    # headline near-dup = the regime dispatcher (similarity.cosine_neardup):
+    # hyperplane-LSH candidates + exact verify when the threshold is high
+    # enough for LSH geometry to prune; exact blocked GEMM below the
+    # crossover, where the candidate set approaches all-pairs (measured 77%
+    # at t=0.40 on this data) and the output itself is Θ(n²). At the
+    # testdata's t=0.40 this routes to the GEMM, so its oracle is the
+    # exact SQL; the ANN machinery keeps full plane-literal oracle
+    # coverage under cosine_neardup_ann.
+    q["cosine_neardup"] = lambda s, d: similarity.cosine_neardup(
+        _emb(s, d), 0.40, dim=_EMB_DIM)
+    q["cosine_neardup_ann"] = lambda s, d: similarity.cosine_neardup_ann(
         _emb(s, d), 0.40, nbits=_ANN_NBITS, ntables=_ANN_NTABLES,
         dim=_EMB_DIM)
     # exact blocked-GEMM all-pairs kept as the small-n recall baseline
@@ -241,14 +248,15 @@ def _validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring candidate pass over captions (axis extension);
-    rows-only."""
-    from apollo_spark import synth
-    images = spark.read.parquet(synth.cached_corpus_path(300)) \
-        .drop("gt_cluster")
-    return candidates.substring_membership(images, PipelineConfig()) \
-        .select("image_id", "hashtable",
-                F.hex(F.col("band")).alias("band_hex"))
+    """Exact-substring candidate pass (axis extension): winnowed L-gram
+    fingerprints over captions (= document text via the adapter), run on
+    the driver's documents table so the DuckDB oracle reproduces the pass
+    bit-for-bit (portable md5 gram hash + identical window spec)."""
+    images = _docs_as_images(_docs(spark, sf_dir))
+    memb = candidates.substring_membership(images, PipelineConfig())
+    return memb.select(
+        "image_id", "hashtable",
+        F.decode(F.col("band"), "utf-8").cast("long").alias("gh"))
 
 
 def _simhash_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +542,10 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.40"""
 
-    o["cosine_neardup"] = f"""
+    # dispatcher at t=0.40 -> exact GEMM branch: oracle = the exact SQL
+    o["cosine_neardup"] = o["cosine_exact"]
+
+    o["cosine_neardup_ann"] = f"""
 WITH {_EMB_NORM},
 pl AS (SELECT * FROM (VALUES
 {_ann_planes_values()}
@@ -572,5 +583,28 @@ SELECT doc_id, length(any_value(text))::BIGINT AS n_bytes,
        (sum(ascii(substring(text, i, 1))) % 997)::BIGINT AS byte_sum_mod,
        ascii(substring(any_value(text), 1, 1))::BIGINT AS first_byte
 FROM pos GROUP BY doc_id"""
+
+    # ext4 exact-substring pass: winnowed L-gram fingerprints (L=32, W=4,
+    # bucket cap 64 — PipelineConfig defaults), same md5-60bit gram hash
+    # and the same window spec as stages/candidates.substring_membership
+    o["substring_candidates"] = """
+WITH pos AS (
+  SELECT doc_id::VARCHAR AS image_id, text,
+         unnest(range(0, greatest(length(text) - 32, 0) + 1)) AS i
+  FROM documents),
+grams AS (
+  SELECT image_id, i, substring(text, i + 1, 32) AS gram FROM pos
+  WHERE length(substring(text, i + 1, 32)) >= 32),
+hashed AS (
+  SELECT image_id, i,
+         ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh FROM grams),
+winnow AS (
+  SELECT DISTINCT image_id,
+         min(gh) OVER (PARTITION BY image_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS gh
+  FROM hashed),
+ok AS (SELECT gh FROM winnow GROUP BY gh HAVING count(*) BETWEEN 2 AND 64)
+SELECT w.image_id, (-2)::INTEGER AS hashtable, w.gh
+FROM winnow w JOIN ok USING (gh)"""
 
     return o

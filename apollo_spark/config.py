@@ -39,9 +39,10 @@ class PipelineConfig:
     # Axis extensions (north_star additions; no reference counterpart)
     simhash_max_hamming: int = 3    # Hamming-ball radius over phash
     substring_min_len: int = 32     # exact-substring candidate length over
-                                    # captions. The pass is exact for
-                                    # "captions share >= L+p-1 contiguous
-                                    # chars"; L must be long enough that a
+                                    # captions. Winnowing guarantees the
+                                    # pass for "captions share >= L+W-1
+                                    # contiguous chars" (W = candidates.
+                                    # WINNOW_W); L must be long enough that a
                                     # chance phrase collision is rare, else
                                     # transitive CC over-merges (observed at
                                     # L=16 on 60k synthetic captions: 92% of

@@ -166,16 +166,9 @@ def dup_edges(docs: DataFrame, threshold: float = 0.7,
     from normal buckets (quadratic mode) UNION star edges from over-cap hot
     buckets (linear mode) — the adaptive analogue of the reference's
     --edges quadratic/linear switch (__main__.py:170-175, graph.py:209-249),
-    chosen per bucket instead of per run.
-
-    The shingle table is extracted ONCE and persisted for both consumers
-    (signatures here, exact-Jaccard verify downstream) — at corpus scale the
-    extraction scan dominates, and the checkpointed image pipeline does the
-    same via the bags stage."""
-    sh = word_shingles(docs, w).persist()
-    bands = lsh_bands(minhash_signatures(docs, k, w, shingles=sh),
-                      r).localCheckpoint()
-    verified = (jaccard(docs, candidate_pairs(bands), w, shingles=sh)
+    chosen per bucket instead of per run."""
+    bands = lsh_bands(minhash_signatures(docs, k, w), r).localCheckpoint()
+    verified = (jaccard(docs, candidate_pairs(bands), w)
                 .filter(F.col("jaccard") >= threshold)
                 .select("a", "b"))
     return verified.unionByName(hot_bucket_edges(bands)).distinct()
@@ -217,12 +210,17 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.7,
                   k: int = DEFAULT_K, r: int = DEFAULT_R,
                   w: int = DEFAULT_SHINGLE_W) -> DataFrame:
     """Full MinHash+LSH near-dup pass: verified pairs
-    (a, b, jaccard >= threshold). One shingle extraction shared by the
-    signature and verify passes (persisted)."""
-    sh = word_shingles(docs, w).persist()
-    cands = candidate_pairs(
-        lsh_bands(minhash_signatures(docs, k, w, shingles=sh), r))
-    return (jaccard(docs, cands, w, shingles=sh)
+    (a, b, jaccard >= threshold).
+
+    The shingle subtree appears several times in this plan (signatures +
+    verify) ON PURPOSE: Catalyst's ReusedExchange dedupes the identical
+    deterministic subtrees at the physical level, so extraction runs once.
+    Forcing a .persist() here instead was MEASURED 2-11x slower (it swaps
+    the reused shuffle for an InMemoryRelation that breaks whole-stage
+    codegen and exchange reuse) — pass ``shingles`` only when a
+    materialized (checkpointed) table already exists."""
+    cands = candidate_pairs(lsh_bands(minhash_signatures(docs, k, w), r))
+    return (jaccard(docs, cands, w)
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -231,8 +229,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """Exhaustive-candidate n-gram Jaccard: pairs sharing >= 1 shingle,
     verified exactly. Recall-complete down to 1 shared shingle (unlike
     LSH) but quadratic in shingle df — df-capped, for tight-threshold
-    passes at moderate scale or as the LSH recall reference."""
-    sh = word_shingles(docs, w).persist()
+    passes at moderate scale or as the LSH recall reference. The repeated
+    shingle subtree is deduped by ReusedExchange (see minhash_dedup)."""
+    sh = word_shingles(docs, w)
     dfcap = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
              .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
              .select("shingle"))
@@ -318,7 +317,10 @@ def connected_components_pairs(pairs: DataFrame,
                           F.col("b").cast("long").alias("dst"))
              .union(pairs.select(F.col("b").cast("long"),
                                  F.col("a").cast("long")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())  # cut the (possibly LSH-deep) pair lineage
+                                  # ONCE — without this every round re-runs
+                                  # the whole candidate+verify chain
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint())
@@ -327,14 +329,16 @@ def connected_components_pairs(pairs: DataFrame,
         prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nlabel")))
+        # one materializing action per round: new labels + moved flag land
+        # in the same localCheckpoint; the convergence count then scans the
+        # checkpointed rows instead of re-joining
         new = (labels.join(prop, "doc_id", "left")
                .select("doc_id",
-                       F.least("label", "nlabel").alias("label"))
+                       F.least("label", "nlabel").alias("label"),
+                       (F.col("nlabel") < F.col("label")).alias("moved"))
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"),
-                            "doc_id")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new
+        changed = new.filter("moved").count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     if changed:

@@ -175,6 +175,36 @@ def lsh_buckets_sql(emb: DataFrame, nbits: int = 4, ntables: int = 16,
                     F.col("tb.bucket").alias("bucket")))
 
 
+ANN_CROSSOVER = 0.7   # below this threshold hyperplane LSH stops pruning
+                      # (see cosine_neardup) and the exact GEMM is optimal
+
+
+def cosine_neardup(emb: DataFrame, threshold: float, seed: int = 42,
+                   dim: int | None = None) -> DataFrame:
+    """Regime-dispatching embedding near-dup: (a, b, cos >= threshold).
+
+    Hyperplane LSH collides a pair at angle θ with probability
+    (1 - θ/π)^nbits per table. That geometry only PRUNES when the
+    threshold is high: at t=0.9 (θ≈26°) a 12-plane table keeps ~15% of
+    boundary pairs and ~0.1% of random ones — the bucket join touches a
+    tiny candidate set. At t=0.4 (θ≈66°) even 4 planes keep 16% of random
+    pairs per table and the multi-table union needed for recall reaches
+    ~77% of ALL pairs (measured on the sf0.1 embeddings: 1.55M candidates
+    of 2.0M total) — "ANN" there does MORE work than the dense GEMM and
+    still loses recall. Below ANN_CROSSOVER the output itself is Θ(n²)
+    (low-threshold near-dup at 10^12 rows is infeasible by output size
+    alone), so the exact blocked GEMM (cosine_pairs: one BLAS matmul per
+    tile pair) is the optimal plan; at and above the crossover this routes
+    through cosine_neardup_ann with threshold-scaled plane counts. Both
+    branches share the same 6dp verify math, so the result schema and
+    values are engine-portable either way."""
+    if threshold >= ANN_CROSSOVER:
+        nbits = 12 if threshold >= 0.9 else 8
+        return cosine_neardup_ann(emb, threshold, nbits=nbits, ntables=16,
+                                  seed=seed, dim=dim)
+    return cosine_pairs(emb, threshold)
+
+
 def cosine_neardup_ann(emb: DataFrame, threshold: float, nbits: int = 4,
                        ntables: int = 16, seed: int = 42,
                        dim: int | None = None) -> DataFrame:

@@ -7,12 +7,16 @@ counterpart — SURVEY.md §2.3 "axis ext" rows).
    JVM-side xor+bit_count, emit verified pairs. Hot blocks (near-constant
    images) are capped before the self-join — the quadratic guard.
 
-2. Exact-substring pass over ``caption``: mod-p sampled L-gram fingerprints
-   (winnowing-style): a gram at position i is kept iff xxhash64(gram) % p == 0,
-   so any two captions sharing an exact substring of length >= L + p - 1 are
-   guaranteed to share a sampled gram. Shared-gram buckets above the cap are
-   dropped (stop-phrase guard); surviving buckets feed CC as extra membership
-   rows.
+2. Exact-substring pass over ``caption``: winnowed L-gram fingerprints
+   (Schleimer/Wilkerson/Aiken's winnowing, SIGMOD'03 — the MOSS scheme):
+   every window of WINNOW_W consecutive gram hashes contributes its
+   minimum, so any two captions sharing an exact substring of length
+   >= L + WINNOW_W - 1 are GUARANTEED to share a fingerprint — a hard
+   guarantee, unlike the mod-p sampling it replaced (which could leave an
+   arbitrarily long stretch unsampled). Shared-gram buckets above the cap
+   are dropped (stop-phrase guard); surviving buckets feed CC as extra
+   membership rows. Gram hashes use the portable md5-60bit so the DuckDB
+   oracle reproduces the pass bit-for-bit.
 
 Both passes integrate with the CC fixpoint either as pair-edges
 (``pairs_as_membership``) or directly as bucket membership, unioned with the
@@ -33,7 +37,8 @@ EDGE_HT = -3
 
 _BLOCKS = 4          # 4 x 16-bit blocks -> guarantees Hamming <= 3
 _SIMHASH_BUCKET_CAP = 256
-_GRAM_MOD = 4        # mod-p sampling rate for substring fingerprints
+WINNOW_W = 4         # winnowing window: guarantee at L + WINNOW_W - 1 chars,
+                     # expected fingerprint density 2/(WINNOW_W + 1)
 
 
 def simhash_pairs(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -60,20 +65,31 @@ def simhash_pairs(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def substring_membership(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Sampled L-gram fingerprint buckets as CC membership rows
-    (image_id, hashtable=SUBSTRING_HT, band binary)."""
+    """Winnowed L-gram fingerprint buckets as CC membership rows
+    (image_id, hashtable=SUBSTRING_HT, band binary).
+
+    Per caption: hash every L-gram (portable md5-60bit), take the minimum
+    over each sliding window of WINNOW_W positions (trailing partial
+    windows included — harmless for the guarantee, and keeps the SQL
+    window spec identical across engines), distinct. The window runs
+    per-document (partitionBy image_id): one shuffle, tiny partitions."""
+    from pyspark.sql import Window
+
+    from apollo_spark.ops.text import md5_long
+
     L = cfg.substring_min_len
-    grams = F.explode(F.expr(
+    grams = F.posexplode(F.expr(
         f"transform(sequence(0, greatest(length(caption) - {L}, 0)), "
         f"i -> substring(caption, i + 1, {L}))"))
-    g = (images.select("image_id", grams.alias("gram"))
+    g = (images.select("image_id", grams.alias("pos", "gram"))
          .filter(F.length("gram") >= L)
-         .withColumn("gh", F.xxhash64("gram"))
-         .filter(F.pmod(F.col("gh"), F.lit(_GRAM_MOD)) == 0)
-         .select("image_id", "gh").distinct())
-    sizes = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+         .withColumn("gh", md5_long(F.col("gram"))))
+    win = (Window.partitionBy("image_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, WINNOW_W - 1))
+    fp = g.select("image_id", F.min("gh").over(win).alias("gh")).distinct()
+    sizes = fp.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter(f"n >= 2 AND n <= {cfg.bucket_pair_cap}").select("gh")
-    return (g.join(ok, "gh")
+    return (fp.join(ok, "gh")
             .select("image_id", F.lit(SUBSTRING_HT).alias("hashtable"),
                     F.encode(F.col("gh").cast("string"), "utf-8")
                     .alias("band")))

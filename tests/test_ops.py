@@ -202,6 +202,38 @@ class TestSimilarity:
         assert len(ann) / len(exact) >= 0.95
         assert all(exact[k] == v for k, v in ann.items())
 
+    def test_cosine_neardup_regime_dispatch(self, spark, emb):
+        """cosine_neardup routes by LSH geometry: below the crossover
+        threshold the plan is the blocked GEMM (grouped-pandas kernel, no
+        bucket join); at or above it the plan is the bucket equi-join.
+        Both branches must agree with the exact result where they
+        overlap."""
+        import io
+        from contextlib import redirect_stdout
+
+        def plan(df):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        lo = similarity.cosine_neardup(emb, 0.40)
+        hi = similarity.cosine_neardup(emb, 0.90, dim=8)
+        p_lo, p_hi = plan(lo), plan(hi)
+        assert "FlatMapGroupsInPandas" in p_lo      # GEMM tiles
+        assert "bucket" not in p_lo
+        assert "bucket" in p_hi                     # LSH candidate join
+        assert "FlatMapGroupsInPandas" not in p_hi
+        # high branch: planted near-identical vectors must be found
+        rows = [(100, [1.0] * 8), (101, [1.0] * 7 + [1.001]),
+                (102, [-1.0, 1.0] * 4), (103, [0.5] * 4 + [-0.5] * 4)]
+        planted = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        found = {(r.a, r.b)
+                 for r in similarity.cosine_neardup(
+                     planted, 0.95, dim=8).collect()}
+        assert (100, 101) in found
+        assert all({a, b} == {100, 101} for a, b in found)
+
     def test_ann_lsh_recall(self, emb):
         exact = similarity.topk_neighbors(emb, n_queries=30, k=5).toPandas()
         approx = similarity.ann_topk(emb, n_queries=30, k=5,

@@ -142,6 +142,24 @@ class TestCandidates:
         assert sizes.filter(
             f"count < 2 or count > {cfg.bucket_pair_cap}").count() == 0
 
+    def test_substring_winnowing_guarantee(self, spark, cfg):
+        """The winnowing contract: two captions sharing an exact substring
+        of length >= L + WINNOW_W - 1 MUST land in a common fingerprint
+        bucket (hard guarantee, not in-expectation), regardless of the
+        disjoint text around it."""
+        L, W = cfg.substring_min_len, candidates.WINNOW_W
+        shared = "S" + "abcdefghijklmnopqrstuvwxyz0123456789"[:L + W - 2]
+        assert len(shared) == L + W - 1
+        rows = [("d1", f"totally unrelated prefix one {shared} tail A"),
+                ("d2", f"another prefix {shared} and different tail B"),
+                ("d3", "no shared substring here at all " + "z" * 64)]
+        images = spark.createDataFrame(rows, ["image_id", "caption"])
+        memb = candidates.substring_membership(images, cfg)
+        by_band = (memb.groupBy("band")
+                   .agg(F.collect_set("image_id").alias("ids")).collect())
+        assert any(set(r["ids"]) >= {"d1", "d2"} for r in by_band)
+        assert all("d3" not in r["ids"] for r in by_band)
+
     def test_pairs_as_membership_roundtrip(self, spark, cfg):
         pairs = spark.createDataFrame([("x", "y"), ("y", "z")], ["a", "b"])
         memb = candidates.pairs_as_membership(pairs)
