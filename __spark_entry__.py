@@ -11,10 +11,13 @@ Operator map (SURVEY.md §2 ids):
   A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
   oracled in tests vs the NumPy golden kernel) · H5 minhash_bands ·
   H8 query_by_image · J2 candidate_pairs · J3+V1/V2 wjacc_query ·
-  J5/G1 dedup_cc/wmh_clusters · G5 cluster_sizes · G6 refined_clusters ·
+  J5/G1 dedup_cc/wmh_clusters · G5 cluster_sizes · G6 refined_clusters
+  (+ refined_clusters_walktrap, the reference's default algorithm) ·
   V3 cluster_eval · per-row invariants validate_rows · axis extensions
-  simhash_phash_pairs / substring_candidates — plus the dedup ladder
-  (exact/minhash/simhash/ngram/cosine), ANN search (LSH + IVF), text
+  simhash_phash_pairs / substring_candidates (winnowed, fully oracled) —
+  plus the dedup ladder (exact/minhash/simhash/ngram), the embedding
+  near-dup triptych (cosine_neardup regime dispatcher / cosine_neardup_ann
+  / cosine_neardup_ivf / cosine_exact), ANN top-k (LSH + IVF), text
   analysis, and multimodal byte plumbing (byte_stats/decode_features).
 """
 
@@ -130,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact blocked-GEMM all-pairs kept as the small-n recall baseline
     q["cosine_exact"] = lambda s, d: similarity.cosine_pairs(
         _emb(s, d), 0.40)
+    # data-adaptive candidates for the moderate-threshold regime where
+    # hyperplane geometry stops pruning (rows-only: kmeans codebook is not
+    # SQL-replicable; subset+recall gated in tests/test_ops.py)
+    q["cosine_neardup_ivf"] = lambda s, d: similarity.cosine_neardup_ivf(
+        _emb(s, d), 0.40, n_centroids=32, nprobe=4)
     q["embedding_topk"] = lambda s, d: similarity.topk_neighbors(
         _emb(s, d), n_queries=20, k=5)
 

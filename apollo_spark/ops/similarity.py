@@ -227,6 +227,13 @@ def cosine_neardup_ann(emb: DataFrame, threshold: float, nbits: int = 4,
             .select(F.col("x.vec_id").alias("a"),
                     F.col("y.vec_id").alias("b"))
             .distinct())
+    return _verify_pairs(cand, emb, threshold)
+
+
+def _verify_pairs(cand: DataFrame, emb: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact 6dp cosine verify of (a, b) candidate pairs — the shared
+    tail of every candidate-generation strategy (LSH buckets, IVF cells)."""
     n = with_norm(emb)
     return (cand
             .join(n.select(F.col("vec_id").alias("a"),
@@ -239,6 +246,40 @@ def cosine_neardup_ann(emb: DataFrame, threshold: float, nbits: int = 4,
                     F.round(_dot("va", "vb")
                             / (F.col("na") * F.col("nb")), 6).alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def cosine_neardup_ivf(emb: DataFrame, threshold: float,
+                       n_centroids: int = 32, nprobe: int = 2,
+                       seed: int = 42) -> DataFrame:
+    """Near-dup pairs via IVF-cell candidates + exact 6dp verify — the
+    DATA-ADAPTIVE middle regime of the near-dup triptych:
+
+      t >= ANN_CROSSOVER   hyperplane LSH (cosine_neardup_ann): the angle
+                           geometry itself prunes candidates
+      moderate t           THIS: clustering prunes instead — candidates
+                           are pairs co-assigned to a coarse k-means cell
+                           (multi-probe: each vector joins its ``nprobe``
+                           nearest cells), ~Σ cell² pairs on clustered
+                           corpora REGARDLESS of threshold, where
+                           hyperplane collision probability degenerates
+                           toward all-pairs (see cosine_neardup)
+      exact baseline       cosine_pairs (blocked GEMM), Θ(n²) by output
+
+    Results are a strict subset of cosine_pairs at the same threshold with
+    identical cos values; recall is data-dependent (cross-cell pairs beyond
+    the probe radius are missed) and gated in tests. Rows-only at the
+    driver: a k-means codebook is not SQL-replicable. Cell sizes take the
+    same salting/cap treatment as LSH buckets at corpus scale."""
+    cents = kmeans_centroids(emb, n_centroids, seed=seed)
+    asg = ivf_assign(emb, cents, nprobe=nprobe)
+    cand = (asg.alias("x")
+            .join(asg.alias("y"),
+                  (F.col("x.centroid") == F.col("y.centroid"))
+                  & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("a"),
+                    F.col("y.vec_id").alias("b"))
+            .distinct())
+    return _verify_pairs(cand, emb, threshold)
 
 
 def lsh_bucketed(emb: DataFrame, nbits: int = 8, seed: int = 42,

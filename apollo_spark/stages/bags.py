@@ -99,10 +99,13 @@ def vocab_table(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
         # plain filter (no sort anywhere), and only the tau tie band — the
         # sole part where feature order matters — goes through a bounded
         # sort-limit. Identical selection to the old sort-limit semantics.
-        hist = (df_tab.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy(F.desc("df")).collect())
-        total = sum(r["cnt"] for r in hist)
+        # cheap count first — the histogram agg only runs when the cap can
+        # actually bite (at the 10M default it almost never does, and the
+        # common path then costs one count, not count + grouped agg + sort)
+        total = df_tab.count()
         if total > cfg.vocabulary_size:
+            hist = (df_tab.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("df")).collect())
             cum = 0
             for r in hist:
                 if cum + r["cnt"] > cfg.vocabulary_size:

@@ -70,23 +70,29 @@ def substring_membership(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     Per caption: hash every L-gram (portable md5-60bit), take the minimum
     over each sliding window of WINNOW_W positions (trailing partial
-    windows included — harmless for the guarantee, and keeps the SQL
-    window spec identical across engines), distinct. The window runs
-    per-document (partitionBy image_id): one shuffle, tiny partitions."""
-    from pyspark.sql import Window
+    windows included — harmless for the guarantee, and identical to the
+    oracle's ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING spec), distinct.
 
-    from apollo_spark.ops.text import md5_long
-
-    L = cfg.substring_min_len
-    grams = F.posexplode(F.expr(
-        f"transform(sequence(0, greatest(length(caption) - {L}, 0)), "
-        f"i -> substring(caption, i + 1, {L}))"))
-    g = (images.select("image_id", grams.alias("pos", "gram"))
-         .filter(F.length("gram") >= L)
-         .withColumn("gh", md5_long(F.col("gram"))))
-    win = (Window.partitionBy("image_id").orderBy("pos")
-           .rowsBetween(Window.currentRow, WINNOW_W - 1))
-    fp = g.select("image_id", F.min("gh").over(win).alias("gh")).distinct()
+    The whole winnow is ONE narrow projection over per-row arrays
+    (transform/slice/array_min/array_distinct) — captions are short, so
+    the per-doc gram array is tiny and the per-doc window NEVER needs a
+    shuffle. The first cut used a window function partitioned by image_id;
+    that paid a full shuffle + per-partition sort for what is row-local
+    arithmetic (measured 65 s -> array form ~15 s at 480k rows,
+    local[1])."""
+    L, W = cfg.substring_min_len, WINNOW_W
+    gh_arr = (
+        f"transform("
+        f"  filter(transform(sequence(0, greatest(length(caption) - {L}, 0)),"
+        f"                   i -> substring(caption, i + 1, {L})),"
+        f"         g -> length(g) >= {L}),"
+        f"  g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint))")
+    winnow = (
+        f"CASE WHEN size(gh) = 0 THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size(gh) - 1), "
+        f"     i -> array_min(slice(gh, i + 1, {W})))) END")
+    fp = (images.selectExpr("image_id", f"{gh_arr} AS gh")
+          .selectExpr("image_id", f"explode({winnow}) AS gh"))
     sizes = fp.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter(f"n >= 2 AND n <= {cfg.bucket_pair_cap}").select("gh")
     return (fp.join(ok, "gh")

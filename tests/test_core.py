@@ -218,3 +218,34 @@ class TestOracleReplica:
         from itertools import chain
         all_elems = list(chain(*comps.values()))
         assert len(all_elems) == len(set(all_elems))
+
+
+class TestBenchContinuity:
+    """bench.py's vs_prev loader: newest matching round wins; sf/cpu
+    mismatches are skipped (ratios across different configs are
+    meaningless)."""
+
+    def test_load_prev_bench_picks_newest_matching(self, tmp_path,
+                                                   monkeypatch):
+        import json
+
+        import bench as bench_mod
+        monkeypatch.setattr(bench_mod.os.path, "abspath",
+                            lambda p: str(tmp_path / "bench.py"))
+        monkeypatch.setattr(bench_mod, "SF_DIR", "/root/testdata/sf0.1")
+        monkeypatch.setattr(bench_mod, "CPUS", 32)
+        mk = lambda rnd, sf, cpus, val: (tmp_path / f"BENCH_r{rnd:02d}.json") \
+            .write_text(json.dumps({"parsed": {
+                "queries": {"q": val}, "sf": sf, "cpus": cpus}}))
+        mk(1, 0.1, 32, 1.0)
+        mk(2, 0.1, 32, 2.0)
+        mk(3, 0.01, 32, 9.0)   # wrong sf -> skipped
+        got = bench_mod._load_prev_bench()
+        assert got["q"] == 2.0 and got["_round"] == 2
+
+    def test_load_prev_bench_none_when_no_match(self, tmp_path,
+                                                monkeypatch):
+        import bench as bench_mod
+        monkeypatch.setattr(bench_mod.os.path, "abspath",
+                            lambda p: str(tmp_path / "bench.py"))
+        assert bench_mod._load_prev_bench() is None

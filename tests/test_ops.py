@@ -234,6 +234,20 @@ class TestSimilarity:
         assert (100, 101) in found
         assert all({a, b} == {100, 101} for a, b in found)
 
+    def test_cosine_ivf_subset_and_recall(self, emb):
+        """IVF-cell candidates + exact verify: strict subset of the exact
+        result with identical cos values; multi-probe recall gated on the
+        fixture (cross-cell pairs beyond the probe radius are the only
+        misses)."""
+        exact = {(r.a, r.b): r.cos
+                 for r in similarity.cosine_pairs(emb, 0.40).collect()}
+        ivf = {(r.a, r.b): r.cos
+               for r in similarity.cosine_neardup_ivf(
+                   emb, 0.40, n_centroids=16, nprobe=4).collect()}
+        assert set(ivf) <= set(exact)
+        assert len(ivf) / max(len(exact), 1) >= 0.6
+        assert all(exact[k] == v for k, v in ivf.items())
+
     def test_ann_lsh_recall(self, emb):
         exact = similarity.topk_neighbors(emb, n_queries=30, k=5).toPandas()
         approx = similarity.ann_topk(emb, n_queries=30, k=5,
