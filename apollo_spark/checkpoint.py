@@ -236,6 +236,11 @@ class CheckpointCatalog:
         m.setdefault("deltas", {})[delta_id] = "committed"
         self._save_manifest(m)
 
+    def delta_state(self, delta_id: str) -> str | None:
+        """'pending' | 'committed' | None — read-only probe used by the
+        streaming ingest to skip crash-replayed batches idempotently."""
+        return self._manifest().get("deltas", {}).get(delta_id)
+
     # -- lineage + metrics ---------------------------------------------------
     def _stage_files(self, stage: str) -> list[str]:
         import glob

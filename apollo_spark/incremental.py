@@ -36,31 +36,44 @@ DERIVED_STAGES = ["simhash_pairs", "substring_membership", "cc", "clusters",
                   "clusters_refined", "cluster_eval"]
 
 
-def append_images(spark: SparkSession, all_images: DataFrame,
+def delta_fingerprint(new_images: DataFrame) -> str:
+    """Order-insensitive identity of a delta: xor of image-id hashes plus
+    the row count (one distributed agg, no collect). Shared by the batch
+    append and the streaming ingest so a crash-replayed micro-batch maps
+    to the same manifest entry."""
+    fp_row = new_images.agg(
+        F.expr("bit_xor(xxhash64(image_id))").alias("s"),
+        F.count(F.lit(1)).alias("n")).first()
+    return f"{int(fp_row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:x}-{fp_row['n']}"
+
+
+def append_images(spark: SparkSession, all_images: DataFrame | None,
                   new_images: DataFrame, cfg: PipelineConfig,
                   out_dir: str, extensions: bool = True,
-                  refine: bool = False, evaluate: bool = False) -> dict:
+                  refine: bool = False, evaluate: bool = False,
+                  append_images_stage: bool = False) -> dict:
     """Append ``new_images`` to the run checkpointed at ``out_dir``.
 
     ``all_images`` must be the full corpus INCLUDING the delta (the
-    extension candidate passes and singleton accounting scan it once).
+    extension candidate passes and singleton accounting scan it once) — or
+    None with ``append_images_stage=True``, in which case the delta is
+    appended to the checkpointed ``images`` stage inside the delta's
+    begin/commit window and the extended stage table becomes the corpus
+    (the streaming-ingest path: no caller-held corpus handle needed).
     Returns the same {stage: DataFrame} dict as run_pipeline.
     """
+    if all_images is None and not append_images_stage:
+        raise ValueError("all_images=None requires append_images_stage")
     cat = CheckpointCatalog(spark, out_dir, cfg)
     if not cat.is_complete("vocab") or not cat.is_complete("bands"):
         raise ValueError(f"no completed base run at {out_dir}")
     vocab = cat.load("vocab")
     ndocs = int(cat.stage_info("vocab")["ndocs"])
 
-    # delta identity = order-insensitive hash of the delta's image ids
-    # (one distributed agg, no collect). Recorded pending -> committed in
-    # the manifest so a duplicate invocation is refused and a crash between
-    # the three stage appends is detectable (ADVICE r1: non-atomic appends
-    # silently duplicated rows).
-    fp_row = new_images.agg(
-        F.expr("bit_xor(xxhash64(image_id))").alias("s"),
-        F.count(F.lit(1)).alias("n")).first()
-    delta_id = f"{int(fp_row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:x}-{fp_row['n']}"
+    # delta identity recorded pending -> committed in the manifest so a
+    # duplicate invocation is refused and a crash between the stage appends
+    # is detectable (ADVICE r1: non-atomic appends silently duplicated rows)
+    delta_id = delta_fingerprint(new_images)
     cat.begin_delta(delta_id)
 
     feats = bags_stage.extract_features(new_images, cfg)
@@ -71,6 +84,10 @@ def append_images(spark: SparkSession, all_images: DataFrame,
     cat.append("signatures", delta_sigs)
     cat.append("bands", hashst.bands(delta_sigs, cfg),
                partition_by=["hashtable"])
+    if append_images_stage:
+        cat.append("images", new_images)
+    if all_images is None:
+        all_images = cat.load("images")
     cat.commit_delta(delta_id)
 
     # global stages derive from the (now extended) bands — rebuild them

@@ -1,0 +1,112 @@
+"""Structured-Streaming ingest: parquet drops -> incremental dedup appends.
+
+The reference has no streaming surface — its incrementality is append-mode
+Cassandra batches (SURVEY.md §2.9, bags.py:23, hasher.py:186-201). This is
+the Spark-idiomatic extension for a continuously-fed corpus:
+``spark.readStream`` over a directory of image parquet drops,
+``foreachBatch`` routing every micro-batch through the SAME idempotent
+incremental path as batch appends (incremental.append_images), so streamed
+and batch-appended corpora end in bit-identical stage tables.
+
+Exactly-once across restarts is the composition of two mechanisms:
+
+  * Spark's streaming checkpoint (offset log): a source file is assigned
+    to exactly one micro-batch, and a crashed batch is REPLAYED with the
+    same file set;
+  * the manifest's delta fingerprints (checkpoint.begin/commit_delta,
+    keyed by the batch's order-insensitive image-id hash): a replayed
+    batch whose delta already committed is SKIPPED (idempotent), and a
+    batch that crashed mid-append is surfaced loudly (parquet appends
+    cannot roll back) instead of silently double-appending. A side effect
+    worth having in a dedup engine: re-dropping a file with the same
+    image ids is refused as a duplicate delta.
+
+Scale shape: each micro-batch costs O(|batch|) extraction + WMH hashing
+plus one CC over dup edges (the incremental contract, not O(corpus));
+no state lives in the driver or the stream — all state is the
+checkpointed stage tables, so the query can be stopped and restarted
+freely and a crashed executor replays cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apollo_spark.checkpoint import CheckpointCatalog
+from apollo_spark.config import PipelineConfig
+from apollo_spark.incremental import append_images, delta_fingerprint
+# streaming file sources cannot infer schemas — declare the input_hint shape
+from apollo_spark.synth import IMAGES_SCHEMA
+
+
+def apply_batch(spark: SparkSession, batch_df: DataFrame,
+                cfg: PipelineConfig, out_dir: str,
+                extensions: bool = True) -> str:
+    """Process one micro-batch (also the foreachBatch body — exposed for
+    direct testing). Returns what happened: 'bootstrap' (first batch built
+    the base run), 'append', 'skip_empty', or 'skip_replay' (delta already
+    committed — a crash-replayed batch).
+
+    Crash-safety ordering: the bootstrap path uses only overwrite-mode
+    writes (replay harmless) and records its delta LAST; the append path
+    delegates to append_images, whose begin/commit window brackets every
+    stage append including the images stage."""
+    batch = batch_df.localCheckpoint()
+    if not batch.take(1):
+        return "skip_empty"
+    cat = CheckpointCatalog(spark, out_dir, cfg)
+    from apollo_spark.pipeline import run_pipeline
+    delta_id = delta_fingerprint(batch)
+    if cat.delta_state(delta_id) == "committed":
+        # rows are already in, but a crash after the commit and before the
+        # derived-stage rebuild finished leaves clusters reset — finish the
+        # rebuild here (complete stages just load, so this is idempotent)
+        if not cat.is_complete("clusters"):
+            run_pipeline(spark, cat.load("images"), cfg, out_dir,
+                         extensions=extensions)
+        return "skip_replay"
+
+    if not cat.is_complete("vocab") or not cat.is_complete("bands"):
+        # first batch bootstraps the base run: overwrite-idempotent writes
+        # first, manifest record last (a replay between them just redoes
+        # the overwrites)
+        run_pipeline(spark, batch, cfg, out_dir, extensions=extensions)
+        cat.write("images", batch)
+        cat.begin_delta(delta_id)
+        cat.commit_delta(delta_id)
+        return "bootstrap"
+
+    append_images(spark, None, batch, cfg, out_dir,
+                  extensions=extensions, append_images_stage=True)
+    return "append"
+
+
+def ingest_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                  cfg: PipelineConfig, extensions: bool = True,
+                  available_now: bool = True,
+                  checkpoint_dir: str | None = None,
+                  max_files_per_trigger: int | None = None):
+    """Start the ingest query; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``source_dir``
+    and stops (the batch-parity mode the tests use); False leaves a
+    continuous micro-batch query running. ``max_files_per_trigger``
+    bounds per-batch work (and with available_now still drains fully,
+    across several batches)."""
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(batch_df.sparkSession, batch_df, cfg, out_dir,
+                    extensions=extensions)
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation",
+                      checkpoint_dir or f"{out_dir}/_stream_ckpt"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,125 @@
+"""Structured-Streaming ingest tests.
+
+Contract under test (streaming.py): a corpus fed through the stream as
+parquet drops ends in the SAME stage tables as the batch bootstrap+append
+path, replayed micro-batches are skipped idempotently, and a replay that
+lands after a crash mid-rebuild still finishes the derived stages.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from apollo_spark import synth
+from apollo_spark.checkpoint import CheckpointCatalog
+from apollo_spark.incremental import append_images
+from apollo_spark.pipeline import run_pipeline
+from apollo_spark.stages import cc as cc_st
+from apollo_spark.streaming import apply_batch, ingest_stream
+
+
+def _drop_file(df, src_dir: str, name: str) -> None:
+    """Materialize df as ONE parquet file in the watched directory (a
+    'drop', the unit the file stream source tracks)."""
+    tmp = os.path.join(src_dir, "_staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(tmp)
+
+
+def _drain(spark, src, out, cfg) -> None:
+    q = ingest_stream(spark, src, str(out), cfg, available_now=True)
+    q.awaitTermination()
+
+
+class TestStreaming:
+    def test_stream_equals_batch_appends(self, spark, cfg, tmp_path):
+        """Three drops drained one ingest at a time == bootstrap + two
+        batch appends: identical bags/signatures/bands rows and identical
+        duplicate-pair sets."""
+        pdf = synth.gen_corpus(240, seed=13)
+        gt = pdf["gt_cluster"].to_numpy()
+        # split INSIDE planted clusters so dup pairs span drop boundaries
+        k1 = next(i for i in range(80, 150) if gt[i - 1] == gt[i])
+        k2 = next(i for i in range(k1 + 40, 230) if gt[i - 1] == gt[i])
+        chunks = [pdf.iloc[:k1], pdf.iloc[k1:k2], pdf.iloc[k2:]]
+        # explicit schema: drops must carry the declared stream types
+        # (pandas inference would widen w/h to int64)
+        cols = [c.strip().split()[0]
+                for c in synth.IMAGES_SCHEMA.split(",")]
+        dfs = [spark.createDataFrame(c[cols], schema=synth.IMAGES_SCHEMA)
+               for c in chunks]
+
+        src = str(tmp_path / "drops")
+        os.makedirs(src)
+        out = tmp_path / "stream_run"
+        # one drain per drop => deterministic batch order (bootstrap, a1, a2)
+        for i, df in enumerate(dfs):
+            _drop_file(df, src, f"drop{i}.parquet")
+            _drain(spark, src, out, cfg)
+
+        # reference: the batch bootstrap + append path on the same splits
+        ref = tmp_path / "batch_run"
+        run_pipeline(spark, dfs[0], cfg, str(ref))
+        append_images(spark, dfs[0].unionByName(dfs[1]), dfs[1], cfg,
+                      str(ref))
+        full = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+        res = append_images(spark, full, dfs[2], cfg, str(ref))
+
+        s_cat = CheckpointCatalog(spark, str(out), cfg)
+        b_cat = CheckpointCatalog(spark, str(ref), cfg)
+        for stage in ("bags", "signatures", "bands"):
+            a, b = s_cat.load(stage), b_cat.load(stage)
+            assert a.exceptAll(b).count() == 0, f"{stage}: stream-only rows"
+            assert b.exceptAll(a).count() == 0, f"{stage}: batch-only rows"
+        s_pairs = {(r["a"], r["b"])
+                   for r in cc_st.dup_pairs(s_cat.load("cc")).collect()}
+        b_pairs = {(r["a"], r["b"])
+                   for r in cc_st.dup_pairs(res["cc"]).collect()}
+        assert s_pairs == b_pairs and s_pairs
+        # cross-drop duplicates actually linked (the planted splits)
+        ids0 = set(chunks[0]["image_id"])
+        assert any((a in ids0) != (b in ids0) for a, b in s_pairs)
+
+    def test_replay_is_skipped(self, spark, cfg, tmp_path):
+        """foreachBatch replays the same file set after a crash; a batch
+        whose delta committed must be a no-op."""
+        pdf = synth.gen_corpus(120, seed=21)
+        half = spark.createDataFrame(
+            pdf.iloc[:60].drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(
+            pdf.iloc[60:].drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        assert apply_batch(spark, half, cfg, out) == "bootstrap"
+        assert apply_batch(spark, half, cfg, out) == "skip_replay"
+        assert apply_batch(spark, delta, cfg, out) == "append"
+        cat = CheckpointCatalog(spark, out, cfg)
+        bags_rows = cat.load("bags").count()
+        sig_rows = cat.load("signatures").count()
+        assert apply_batch(spark, delta, cfg, out) == "skip_replay"
+        assert cat.load("bags").count() == bags_rows
+        assert cat.load("signatures").count() == sig_rows
+        assert cat.load("images").count() == 120
+        empty = spark.createDataFrame([], synth.IMAGES_SCHEMA)
+        assert apply_batch(spark, empty, cfg, out) == "skip_empty"
+
+    def test_replay_finishes_crashed_rebuild(self, spark, cfg, tmp_path):
+        """Crash window: delta committed but the derived-stage rebuild died.
+        The replayed batch is skipped AND the rebuild is completed."""
+        pdf = synth.gen_corpus(120, seed=22)
+        half = spark.createDataFrame(
+            pdf.iloc[:60].drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(
+            pdf.iloc[60:].drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        apply_batch(spark, half, cfg, out)
+        apply_batch(spark, delta, cfg, out)
+        cat = CheckpointCatalog(spark, out, cfg)
+        cat.reset(["cc", "clusters"])  # simulate the crash mid-rebuild
+        assert not cat.is_complete("clusters")
+        assert apply_batch(spark, delta, cfg, out) == "skip_replay"
+        assert cat.is_complete("clusters")
+        assert cat.load("cc").count() == 120
