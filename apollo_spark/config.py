@@ -51,8 +51,9 @@ class PipelineConfig:
     # G6 community refinement: which per-component algorithm splits fat CCs
     # (reference --algorithm, __main__.py:176-179; igraph menu replaced by
     # the NumPy kernels in core/community.py). label_propagation is the
-    # cheapest; multilevel/fastgreedy/walktrap/leading_eigenvector are the
-    # modularity-based options (walktrap = the reference's default).
+    # cheapest; multilevel/fastgreedy/walktrap/leading_eigenvector/
+    # edge_betweenness are the modularity-cut options (walktrap = the
+    # reference's default); infomap optimizes the map equation.
     community_algorithm: str = "label_propagation"
 
     # Scale / skew controls (north_rule: salted repartitioning + AQE)

@@ -17,6 +17,14 @@ first-index tie-breaks, no RNG) so cluster ids are reproducible run-to-run:
                        merges, cut at max modularity)
   leading_eigenvector  Newman 2006 (recursive spectral bisection of the
                        modularity matrix, power iteration)
+  infomap              Rosvall/Bergstrom 2008 (two-level map equation,
+                       Louvain-style deterministic levels; the walk's
+                       stationary rates are degree-proportional on an
+                       undirected graph, so flows are closed-form)
+  edge_betweenness     Girvan/Newman 2002 (remove max-betweenness edge,
+                       cut at max modularity; Brandes vectorized over all
+                       sources — O(m·n³·diam) total, capped at
+                       EDGE_BETWEENNESS_CAP with multilevel fallback)
 
 Scale contract: these run INSIDE a grouped applyInPandas task, one component
 per call, components bounded by refine's max_kernel_size (4k) — dense O(n²)
@@ -37,7 +45,8 @@ from __future__ import annotations
 import numpy as np
 
 ALGORITHMS = ("label_propagation", "multilevel", "fastgreedy",
-              "walktrap", "leading_eigenvector")
+              "walktrap", "leading_eigenvector", "infomap",
+              "edge_betweenness")
 WALKTRAP_CAP = 1536      # n³ matmul guard; above this walktrap -> multilevel
 
 
@@ -57,10 +66,41 @@ def detect(adj: np.ndarray, algorithm: str = "label_propagation",
         labels = (walktrap(adj) if n <= WALKTRAP_CAP else multilevel(adj))
     elif algorithm == "leading_eigenvector":
         labels = leading_eigenvector(adj)
+    elif algorithm == "infomap":
+        labels = infomap(adj)
+    elif algorithm == "edge_betweenness":
+        labels = (edge_betweenness(adj) if n <= EDGE_BETWEENNESS_CAP
+                  else multilevel(adj))
     else:
         raise ValueError(f"unknown community algorithm {algorithm!r}; "
                          f"choose from {ALGORITHMS}")
+    # zero-weight cuts are hard boundaries: intersect the partition with
+    # the graph's connected components so no kernel can return a community
+    # spanning nodes with no path between them (modularity-blind cases —
+    # e.g. isolated nodes under spectral bisection — found by the
+    # hypothesis suite; in-contract inputs are connected and unaffected)
+    labels = np.asarray(labels, dtype=np.int64) * np.int64(n + 1) \
+        + _components(adj)
     return _canonicalize(labels)
+
+
+def _components(adj: np.ndarray) -> np.ndarray:
+    """Connected-component id per node (BFS on the support)."""
+    n = adj.shape[0]
+    comp = np.full(n, -1, dtype=np.int64)
+    nxt = 0
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        seen = np.zeros(n, dtype=bool)
+        seen[s] = True
+        front = seen.copy()
+        while front.any():
+            front = (adj[front] > 0).any(axis=0) & ~seen
+            seen |= front
+        comp[seen] = nxt
+        nxt += 1
+    return comp
 
 
 def modularity(adj: np.ndarray, labels: np.ndarray) -> float:
@@ -374,3 +414,165 @@ def leading_eigenvector(adj: np.ndarray, min_gain: float = 1e-9,
         stack.append(left)
         stack.append(right)
     return labels
+
+
+def _plogp(x):
+    """x·log2(x) with 0·log0 = 0; accepts scalars or arrays."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    pos = x > 0
+    out[pos] = x[pos] * np.log2(x[pos])
+    return out if out.ndim else float(out)
+
+
+def _map_eq_local_moves(adj: np.ndarray, max_sweeps: int = 20) -> np.ndarray:
+    """One infomap level: greedy node moves minimizing the two-level map
+    equation (Rosvall & Bergstrom 2008, PNAS 105:1118), deterministic sweep
+    order, strict-improvement-only. For an undirected walk the stationary
+    visit rate is degree-proportional, so no power iteration is needed:
+    p_i = k_i / W with W = Σk (self-loops count twice, as in Louvain).
+
+    L(M) = plogp(q) − 2·Σ_m plogp(q_m) + Σ_m plogp(q_m + Σ_{i∈m} p_i)
+           − Σ_i plogp(p_i)        [the last term is move-invariant]
+
+    where q_m = (boundary weight of m)/W and q = Σ_m q_m."""
+    n = adj.shape[0]
+    off = adj.copy()
+    self_w = np.diag(adj).copy()
+    np.fill_diagonal(off, 0.0)
+    k = off.sum(axis=1) + 2.0 * self_w
+    W = float(k.sum())
+    if W <= 0:
+        return np.arange(n)
+    p = k / W                                   # node visit rates
+    ex = off.sum(axis=1) / W                    # node off-degree (normalized)
+    labels = np.arange(n)
+    exit_m = ex.copy()                          # singleton modules
+    psum_m = p.copy()
+    for _ in range(max_sweeps):
+        moved = False
+        for i in range(n):
+            cur = int(labels[i])
+            w_to = np.bincount(labels, weights=off[i], minlength=n) / W
+            cand = np.flatnonzero(w_to > 0)
+            if len(cand) == 0:
+                continue
+            if cur not in cand:
+                cand = np.append(cand, cur)
+            # stats with i removed from its module
+            ex_a = exit_m[cur] - ex[i] + 2.0 * w_to[cur]
+            ps_a = psum_m[cur] - p[i]
+            q0 = float(exit_m.sum())
+            # ΔL of placing i into each candidate b (vectorized)
+            ex_b0 = np.where(cand == cur, ex_a, exit_m[cand])
+            ps_b0 = np.where(cand == cur, ps_a, psum_m[cand])
+            ex_b1 = ex_b0 + ex[i] - 2.0 * w_to[cand]
+            ps_b1 = ps_b0 + p[i]
+            q1 = q0 - exit_m[cur] + ex_a - ex_b0 + ex_b1
+            dl = (_plogp(q1) - _plogp(q0)
+                  - 2.0 * (_plogp(ex_a) + _plogp(ex_b1)
+                           - _plogp(exit_m[cur]) - _plogp(ex_b0))
+                  + (_plogp(ex_a + ps_a) + _plogp(ex_b1 + ps_b1)
+                     - _plogp(exit_m[cur] + psum_m[cur])
+                     - _plogp(ex_b0 + ps_b0)))
+            dl = np.where(cand == cur, 0.0, dl)
+            j = int(np.argmin(dl))              # first index breaks ties
+            best = int(cand[j])
+            if best != cur and dl[j] < -1e-12:
+                exit_m[cur] = ex_a
+                psum_m[cur] = ps_a
+                exit_m[best] += ex[i] - 2.0 * w_to[best]
+                psum_m[best] += p[i]
+                labels[i] = best
+                moved = True
+        if not moved:
+            break
+    return labels
+
+
+def infomap(adj: np.ndarray) -> np.ndarray:
+    """Two-level infomap via Louvain-style levels: map-equation local moves,
+    aggregate modules into supernodes (intra weight → self-loop, same
+    degree-preserving convention as multilevel), repeat until a level makes
+    no merge. Deterministic throughout."""
+    node_lab = np.arange(adj.shape[0])
+    level_adj = adj.astype(np.float64, copy=True)
+    while True:
+        lab = _map_eq_local_moves(level_adj)
+        uniq, dense = np.unique(lab, return_inverse=True)
+        c = len(uniq)
+        if c == level_adj.shape[0]:
+            break
+        node_lab = dense[node_lab]
+        onehot = np.zeros((level_adj.shape[0], c))
+        onehot[np.arange(level_adj.shape[0]), dense] = 1.0
+        agg = onehot.T @ level_adj @ onehot
+        member_self = onehot.T @ np.diag(level_adj)
+        np.fill_diagonal(agg, (np.diag(agg) + member_self) / 2.0)
+        level_adj = agg
+        if c == 1:
+            break
+    return node_lab
+
+
+def _all_source_edge_betweenness(A: np.ndarray) -> np.ndarray:
+    """Unweighted edge betweenness, Brandes vectorized over ALL sources at
+    once: BFS layers and dependency accumulation are (n×n) matmuls, so each
+    call is O(n³·diameter) in BLAS instead of per-source Python loops.
+    Returns a symmetric (n,n) score matrix (each unordered pair of
+    endpoints contributes as source twice — a constant factor, irrelevant
+    to the argmax)."""
+    n = A.shape[0]
+    Af = A.astype(np.float64)
+    dist = np.full((n, n), -1, dtype=np.int64)
+    np.fill_diagonal(dist, 0)
+    sigma = np.eye(n)
+    cur = np.eye(n, dtype=bool)
+    level = 0
+    while cur.any():
+        paths = (sigma * cur) @ Af
+        nxt = (paths > 0) & (dist < 0)
+        sigma[nxt] = paths[nxt]
+        level += 1
+        dist[nxt] = level
+        cur = nxt
+    delta = np.zeros((n, n))
+    eb = np.zeros((n, n))
+    for lv in range(level, 0, -1):
+        wmask = dist == lv
+        C = np.where(wmask, (1.0 + delta) / np.where(sigma > 0, sigma, 1.0),
+                     0.0)
+        SP = sigma * (dist == lv - 1)
+        eb += Af * (SP.T @ C)
+        delta += SP * (C @ Af)                  # A symmetric
+    return eb + eb.T
+
+
+EDGE_BETWEENNESS_CAP = 96  # GN is O(m·n³·diam); above this → multilevel
+
+
+def edge_betweenness(adj: np.ndarray) -> np.ndarray:
+    """Girvan–Newman 2002: repeatedly remove the max-betweenness edge
+    (recomputing betweenness each round) and cut the removal dendrogram at
+    the connected-component partition of maximum weighted modularity on
+    the ORIGINAL adjacency. Shortest paths are hop-based on the unweighted
+    skeleton (our edge weights are similarities, not lengths — treating
+    them as walk distances would invert their meaning); modularity keeps
+    the weights. Ties broken by smallest (i,j). Deterministic."""
+    n = adj.shape[0]
+    A = (adj > 0).astype(np.float64)
+    np.fill_diagonal(A, 0.0)
+
+    best_lab = _components(A)
+    best_q = modularity(adj, best_lab)
+    while A.any():
+        eb = _all_source_edge_betweenness(A)
+        eb[A == 0] = -np.inf
+        i, j = divmod(int(np.argmax(eb)), n)    # first flat index = ties
+        A[i, j] = A[j, i] = 0.0
+        lab = _components(A)
+        q = modularity(adj, lab)
+        if q > best_q + 1e-12:
+            best_q = q
+            best_lab = lab
+    return best_lab

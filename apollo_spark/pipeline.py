@@ -113,7 +113,8 @@ def main(argv=None) -> int:
                     help="community algorithm for --refine (reference "
                          "__main__.py:176-179): label_propagation | "
                          "multilevel | fastgreedy | walktrap | "
-                         "leading_eigenvector")
+                         "leading_eigenvector | infomap | "
+                         "edge_betweenness")
     args = ap.parse_args(argv)
 
     from apollo_spark.session import get_spark

@@ -9,8 +9,9 @@ replaces igraph with DataFrame-native clustering: this stage is the
 refinement half — the shared-bucket weighted adjacency is built per
 component inside a grouped applyInPandas kernel and handed to the selected
 algorithm from core/community.py (label_propagation | multilevel |
-fastgreedy | walktrap | leading_eigenvector — the same menu shape as the
-reference's CommunityDetector).
+fastgreedy | walktrap | leading_eigenvector | infomap | edge_betweenness —
+the same menu shape as the reference's CommunityDetector, including the
+three algorithms it special-cases, graph.py:279-285).
 
 LSH transitive chaining is the failure mode this corrects: A~B and B~C can
 co-bucket without A~C; CC alone would keep {A,B,C} together. Community

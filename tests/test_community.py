@@ -13,7 +13,10 @@ import pytest
 from apollo_spark.core import community as cm
 
 MODULARITY_ALGOS = ("multilevel", "fastgreedy", "walktrap",
-                    "leading_eigenvector")
+                    "leading_eigenvector", "edge_betweenness")
+# infomap optimizes the map equation, not Q, but must still recover
+# planted splits; it joins every structural test, not the Q gate
+SPLIT_ALGOS = MODULARITY_ALGOS + ("infomap",)
 
 
 def planted(sizes, bridges, w_intra=1.0, w_bridge=1.0):
@@ -58,7 +61,7 @@ class TestKernels:
         for g in groups(lab):
             assert all(lab[i] == min(g) for i in g)
 
-    @pytest.mark.parametrize("alg", MODULARITY_ALGOS)
+    @pytest.mark.parametrize("alg", SPLIT_ALGOS)
     def test_bridged_cliques_split(self, alg):
         """Two 5-cliques + one bridge: the canonical chained-component
         case. LPA is known to flood across an unweighted bridge here;
@@ -69,7 +72,7 @@ class TestKernels:
         for b in blocks:
             assert len(set(lab[b].tolist())) == 1
 
-    @pytest.mark.parametrize("alg", MODULARITY_ALGOS)
+    @pytest.mark.parametrize("alg", SPLIT_ALGOS)
     def test_ring_of_cliques(self, alg):
         adj, blocks = planted([6, 6, 6, 6],
                               [(5, 6), (11, 12), (17, 18), (23, 0)])
@@ -120,6 +123,40 @@ class TestKernels:
         lab = cm.detect(adj, "walktrap")
         assert "walktrap" not in called
         assert len(set(lab.tolist())) == 2
+
+    def test_edge_betweenness_cap_falls_back(self, monkeypatch):
+        """Above EDGE_BETWEENNESS_CAP the dispatcher must route to
+        multilevel (the O(m·n³) guard), not run Girvan-Newman."""
+        monkeypatch.setattr(cm, "EDGE_BETWEENNESS_CAP", 8)
+
+        def boom(adj):  # pragma: no cover - must not run
+            raise AssertionError("edge_betweenness ran above its cap")
+
+        monkeypatch.setattr(cm, "edge_betweenness", boom)
+        adj, _ = planted([5, 5], [(4, 5)])
+        lab = cm.detect(adj, "edge_betweenness")
+        assert len(set(lab.tolist())) == 2
+
+    def test_betweenness_scores_peak_on_bridge(self):
+        """Hand-checked Brandes: in a barbell (two 4-cliques + one bridge)
+        every shortest path between the halves crosses the bridge, so the
+        bridge edge's score must strictly dominate every clique edge."""
+        adj, _ = planted([4, 4], [(3, 4)])
+        eb = cm._all_source_edge_betweenness((adj > 0).astype(float))
+        bridge = eb[3, 4]
+        intra = max(eb[0, 1], eb[4, 5])
+        assert bridge > intra
+        # every left source routes its 4 right-half targets across the
+        # bridge (4 sources x 4 = 16 into eb[3,4]); mirrored from the
+        # right into eb[4,3]; the symmetrized return sums both halves
+        assert bridge == pytest.approx(32.0)
+
+    def test_infomap_one_level_merges_clique(self):
+        """Map-equation local moves alone (no aggregation) must already
+        merge a clique into one module (codebook cost dominates)."""
+        adj, _ = planted([6], [])
+        lab = cm._map_eq_local_moves(adj)
+        assert len(set(lab.tolist())) == 1
 
     def test_unknown_algorithm_raises(self):
         adj, _ = planted([4], [])
