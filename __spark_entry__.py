@@ -18,7 +18,8 @@ Operator map (SURVEY.md §2 ids):
   plus the dedup ladder (exact/minhash/simhash/ngram), the embedding
   near-dup triptych (cosine_neardup regime dispatcher / cosine_neardup_ann
   / cosine_neardup_ivf / cosine_exact), ANN top-k (LSH + IVF), text
-  analysis, and multimodal byte plumbing (byte_stats/decode_features).
+  analysis, and multimodal plumbing (byte_stats/decode_features plus the
+  oracled resize pair resize_dims/resize_kernel and frame_sample).
 """
 
 from __future__ import annotations
@@ -56,6 +57,30 @@ def _docs_as_images(docs: DataFrame) -> DataFrame:
         F.col("text").alias("caption"),
         F.expr("cast(conv(substring(md5(text), 1, 15), 16, 10) AS bigint)")
         .alias("phash"))
+
+
+def _docs_as_sized_images(docs: DataFrame) -> DataFrame:
+    """Adapter for the resize operators: documents with VARIED deterministic
+    dimensions (16..128, straddling the max_side=64 fit boundary so both
+    resize branches are exercised) — integer math the oracle mirrors."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.expr("cast(16 + (cast(doc_id as bigint) * 37) % 113 as int)")
+        .alias("w"),
+        F.expr("cast(16 + (cast(doc_id as bigint) * 61) % 97 as int)")
+        .alias("h"))
+
+
+def _docs_as_videos(docs: DataFrame) -> DataFrame:
+    """Adapter for frame sampling: each document's UTF-8 bytes become a
+    'video' of length(text) div 16 fixed 16-byte frames (ASCII testdata,
+    so SQL substring math reproduces every frame byte)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("video_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.expr("cast(length(text) div 16 as int)").alias("n_frames"),
+        F.lit(16).alias("frame_bytes")).where("n_frames >= 1")
 
 
 _FLAGSHIP_CFG = PipelineConfig(caption_shingle_k=4, phash_ngram_bits=16,
@@ -145,6 +170,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["byte_stats"] = lambda s, d: (
         multimodal.byte_stats(multimodal.binary_corpus(_docs(s, d)))
         .select("doc_id", "n_bytes", "byte_sum_mod", "first_byte"))
+    # resize: the Catalyst-only dimension plan (bytes column pruned from
+    # the scan) and the mapInPandas kernel whose out dims are MEASURED from
+    # the resized ndarray — both hash-checked against the same SQL math
+    q["resize_dims"] = lambda s, d: multimodal.resize_dims(
+        _docs_as_sized_images(_docs(s, d)), max_side=64)
+    q["resize_kernel"] = lambda s, d: multimodal.resize_images(
+        _docs_as_sized_images(_docs(s, d)), max_side=64) \
+        .select("image_id", "out_w", "out_h")
+    # frame sampling: payload sliced by the kernel, checksummed per frame;
+    # the oracle re-derives every sum with SQL substring math
+    q["frame_sample"] = lambda s, d: multimodal.sample_frames(
+        _docs_as_videos(_docs(s, d)), k=4)
 
     # --- interactive query: LSH probe + exact-Jaccard re-rank (J3+V1/V2,
     #     reference query.py:14-81) over the portable minhash bands (oracled)
@@ -169,7 +206,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_phash_pairs"] = _simhash_phash_query
     q["decode_features"] = _decode_features_query
     q["query_by_image"] = _query_by_image
+    q["stream_ingest"] = _stream_ingest_query
     return q
+
+
+def _stream_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: the Structured-Streaming ingest surface, driven in
+    its foreachBatch form — half the corpus bootstraps the base run, the
+    other half arrives as a second micro-batch through the idempotent
+    incremental append. Returns the per-cluster size histogram of the
+    final checkpointed state. Rows-only (frozen-vocab incremental
+    semantics are not SQL-expressible); stream==batch parity is oracled
+    in tests/test_streaming.py."""
+    import tempfile
+    from apollo_spark.checkpoint import CheckpointCatalog
+    from apollo_spark.streaming import apply_batch
+    # a bounded slice keeps this demo cheap in the correctness gate (the
+    # full-corpus stream==batch parity is what tests/test_streaming.py pins)
+    imgs = _docs_as_images(_docs(spark, sf_dir)) \
+        .where("cast(image_id as bigint) < 200")
+    first = imgs.where("cast(image_id as bigint) % 2 = 0")
+    second = imgs.where("cast(image_id as bigint) % 2 = 1")
+    out = tempfile.mkdtemp(prefix="apollo-stream-entry-")
+    # a 200-row demo on the session's production shuffle width is pure
+    # scheduler overhead — narrow it for the eager ingest, then restore
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        apply_batch(spark, first, _FLAGSHIP_CFG, out, extensions=False)
+        apply_batch(spark, second, _FLAGSHIP_CFG, out, extensions=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    cat = CheckpointCatalog(spark, out, _FLAGSHIP_CFG)
+    return (cat.load("clusters")
+            .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+            .groupBy("n_members").agg(F.count(F.lit(1)).alias("n_clusters")))
 
 
 def _query_by_image(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +662,46 @@ SELECT doc_id, length(any_value(text))::BIGINT AS n_bytes,
        (sum(ascii(substring(text, i, 1))) % 997)::BIGINT AS byte_sum_mod,
        ascii(substring(any_value(text), 1, 1))::BIGINT AS first_byte
 FROM pos GROUP BY doc_id"""
+
+    # resize: aspect-fit integer math mirrored from multimodal.target_dims;
+    # the _kernel variant hash-checks the mapInPandas kernel's MEASURED
+    # resized-array shapes against this same arithmetic
+    _RESIZE_DIMS = """
+WITH i AS (SELECT doc_id::VARCHAR AS image_id,
+                  CAST(16 + (doc_id::BIGINT * 37) % 113 AS INT) AS w,
+                  CAST(16 + (doc_id::BIGINT * 61) % 97 AS INT) AS h
+           FROM documents)
+SELECT image_id, w, h,
+       CAST(CASE WHEN greatest(w, h) <= 64 THEN w
+                 ELSE greatest(1, (w * 64) // greatest(w, h)) END AS INT)
+         AS out_w,
+       CAST(CASE WHEN greatest(w, h) <= 64 THEN h
+                 ELSE greatest(1, (h * 64) // greatest(w, h)) END AS INT)
+         AS out_h
+FROM i"""
+    o["resize_dims"] = _RESIZE_DIMS
+    o["resize_kernel"] = (
+        "WITH dims AS (" + _RESIZE_DIMS + ") "
+        "SELECT image_id, out_w, out_h FROM dims")
+
+    # frame sampling: stride indices floor(j*n/m) and per-frame byte sums
+    # via substring math (ASCII testdata: ascii(char) == byte value)
+    o["frame_sample"] = """
+WITH v AS (SELECT doc_id::VARCHAR AS video_id, text,
+                  CAST(length(text) // 16 AS INT) AS n_frames,
+                  CAST(least(4, length(text) // 16) AS INT) AS m
+           FROM documents WHERE length(text) >= 16),
+     j AS (SELECT video_id, text, n_frames, m,
+                  unnest(range(m)) AS jj FROM v),
+     fr AS (SELECT video_id, text,
+                   CAST((jj * n_frames) // m AS INT) AS frame_idx FROM j),
+     ex AS (SELECT video_id, frame_idx, text,
+                   unnest(range(16)) AS o FROM fr)
+SELECT video_id, frame_idx,
+       CAST(sum(ascii(substring(text, frame_idx * 16 + o + 1, 1))) % 997
+            AS BIGINT) AS frame_sum_mod,
+       CAST(16 AS BIGINT) AS n_frame_bytes
+FROM ex GROUP BY video_id, frame_idx"""
 
     # ext4 exact-substring pass: winnowed L-gram fingerprints (L=32, W=4,
     # bucket cap 64 — PipelineConfig defaults), same md5-60bit gram hash

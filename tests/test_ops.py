@@ -365,3 +365,56 @@ class TestMultimodal:
         assert multimodal.psnr(x, x) == float("inf")
         y = x.copy(); y[0, 0] = 255
         assert 10 < multimodal.psnr(x, y) < 40
+
+    def test_resize_kernel_matches_plan_and_pixels(self, spark, images):
+        """resize_images' MEASURED out dims == resize_dims' Catalyst math,
+        and on the ASIM container the resample is the exact NN pick."""
+        from apollo_spark.functions import codecs
+        sub = images.limit(40)
+        plan = multimodal.resize_dims(sub, max_side=24).toPandas() \
+            .set_index("image_id")
+        out = multimodal.resize_images(sub, max_side=24).toPandas() \
+            .set_index("image_id")
+        assert set(out.index) == set(plan.index)
+        for rid in out.index:
+            assert out.loc[rid, "out_w"] == plan.loc[rid, "out_w"]
+            assert out.loc[rid, "out_h"] == plan.loc[rid, "out_h"]
+        assert (out["out_w"] <= 24).all() and (out["out_h"] <= 24).all()
+        assert (out["resizer"] == "asim-nn").all()
+        # pixel-exact spot check against a local decode+resample
+        row = sub.limit(1).collect()[0]
+        px = codecs.decode(bytes(row["bytes"]))
+        ow, oh = multimodal.target_dims(px.shape[1], px.shape[0], 24)
+        ref = multimodal._nn_resize(px, ow, oh)
+        assert out.loc[row["image_id"], "out_mean"] == \
+            pytest.approx(float(ref.mean()))
+
+    def test_target_dims_never_upscales_and_fits(self):
+        for w, h in [(10, 10), (64, 64), (128, 32), (32, 128), (1, 5000)]:
+            ow, oh = multimodal.target_dims(w, h, 64)
+            assert max(ow, oh) <= max(64, min(w, h))
+            assert ow <= w and oh <= h and ow >= 1 and oh >= 1
+            if max(w, h) <= 64:
+                assert (ow, oh) == (w, h)
+
+    def test_sample_frames_matches_python(self, spark):
+        """Kernel slicing == local slicing on a hand-built frame container,
+        including the n_frames < k short-video case and skip rules."""
+        vids = pd.DataFrame({
+            "video_id": ["a", "b", "c"],
+            "payload": [bytes(range(80)), bytes(range(10)), b""],
+            "n_frames": [10, 1, 0],
+            "frame_bytes": [8, 8, 8]})
+        out = multimodal.sample_frames(
+            spark.createDataFrame(vids), k=4).toPandas()
+        assert set(out["video_id"]) == {"a", "b"}  # c skipped (0 frames)
+        a = out[out["video_id"] == "a"].sort_values("frame_idx")
+        assert a["frame_idx"].tolist() == [0, 2, 5, 7]  # floor(j*10/4)
+        for _, r in out.iterrows():
+            raw = vids.set_index("video_id").loc[r["video_id"], "payload"]
+            fb = 8
+            frame = raw[r["frame_idx"] * fb:(r["frame_idx"] + 1) * fb]
+            assert r["frame_sum_mod"] == sum(frame) % 997
+            assert r["n_frame_bytes"] == len(frame)
+        b = out[out["video_id"] == "b"]
+        assert b["frame_idx"].tolist() == [0]  # min(k, n_frames) = 1

@@ -151,6 +151,20 @@ def main() -> int:
          ("no InMemoryRelation (no forced persist in the plan)",
           "InMemoryRelation" not in p and "InMemoryTableScan" not in p)]))
 
+    # 9. resize_dims: metadata-only resize plan — the multi-MB bytes column
+    # must be pruned from the scan and the math must stay in codegen
+    from apollo_spark.ops import multimodal
+    rd = multimodal.resize_dims(images, max_side=64)
+    p = plan_of(rd)
+    sections.append((
+        "resize_dims (Catalyst-only resize plan)", p,
+        [("bytes column pruned from scan", "bytes" not in
+          p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p
+          else False),
+         ("whole-stage codegen covers the dim math",
+          "[codegen id" in p.split("(3) Project")[-1]
+          if "(3) Project" in p else "codegen id" in p)]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
