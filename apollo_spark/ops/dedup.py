@@ -332,10 +332,19 @@ def connected_components_pairs(pairs: DataFrame,
         # one materializing action per round: new labels + moved flag land
         # in the same localCheckpoint; the convergence count then scans the
         # checkpointed rows instead of re-joining
-        new = (labels.join(prop, "doc_id", "left")
+        mids = (labels.join(prop, "doc_id", "left")
+                .select("doc_id",
+                        F.least("label", "nlabel").alias("mid"),
+                        F.col("label").alias("old")))
+        # pointer jump (path halving, same device as stages/cc.py):
+        # l(v) <- l(l(v)) via a self-join — O(log diameter) rounds
+        parents = mids.select(F.col("doc_id").alias("mid"),
+                              F.col("mid").alias("pmid"))
+        new = (mids.join(parents, "mid", "left")
                .select("doc_id",
-                       F.least("label", "nlabel").alias("label"),
-                       (F.col("nlabel") < F.col("label")).alias("moved"))
+                       F.coalesce("pmid", "mid").alias("label"),
+                       (F.coalesce("pmid", "mid") < F.col("old"))
+                       .alias("moved"))
                .localCheckpoint())
         changed = new.filter("moved").count()
         labels = new.select("doc_id", "label")

@@ -88,11 +88,24 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
         prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
                 .groupBy(F.col("dst").alias("image_id"))
                 .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(prop, "image_id", "left")
+        mids = (labels.join(prop, "image_id", "left")
+                .select("image_id",
+                        F.least("label", F.coalesce("nlabel", "label"))
+                        .alias("mid"),
+                        F.col("label").alias("old")))
+        # pointer jump (path halving): l(v) <- l(l(v)). Every label IS a
+        # node in this table and labels only ever decrease, so the parent
+        # lookup is a self-join that compresses label chains exponentially
+        # — rounds drop from O(diameter) to O(log diameter), the fix for
+        # CC being the worst-scaling stage in BENCH_SCALING (2.01x at
+        # 1->4: each round is shuffles + a driver-blocking action, so
+        # round COUNT is the serial term).
+        parents = mids.select(F.col("image_id").alias("mid"),
+                              F.col("mid").alias("pmid"))
+        new_labels = (mids.join(parents, "mid", "left")
                       .select("image_id",
-                              F.least("label", F.coalesce("nlabel", "label"))
-                              .alias("new_label"),
-                              F.col("label").alias("old"))
+                              F.coalesce("pmid", "mid").alias("new_label"),
+                              "old")
                       .localCheckpoint())
         changed = new_labels.filter(
             F.col("new_label") != F.col("old")).count()

@@ -119,6 +119,23 @@ class TestCCStage:
         sizes = cl.groupBy("cluster_id").count()
         assert sizes.filter("count < 2").count() == 0
 
+    def test_deep_chain_converges_in_log_rounds(self, spark, cfg):
+        """Pointer jumping (path halving) must collapse a bucket chain far
+        deeper than max_cc_iterations: 120 buckets chained pairwise =
+        diameter ~120, cap 20 — plain min-label propagation would split it
+        and warn; with l(v) <- l(l(v)) it converges (O(log d) rounds) to
+        ONE component labeled by the global min."""
+        import warnings
+        rows = [(f"img{i:04d}", i // 2, 0) for i in range(2, 242)]
+        rows += [(f"img{i:04d}", (i + 1) // 2, 0) for i in range(1, 241)]
+        bands = spark.createDataFrame(
+            rows, "image_id string, band long, hashtable int")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            cc = cc_st.connected_components(bands, cfg).toPandas()
+        assert set(cc["cc_id"]) == {"img0001"}
+        assert len(cc) == 241
+
 
 class TestCandidates:
     def test_simhash_pairs_verified(self, images, cfg):
