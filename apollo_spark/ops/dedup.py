@@ -312,7 +312,7 @@ def connected_components_pairs(pairs: DataFrame,
     """Min-label propagation over an (a, b) edge list -> (doc_id, cc_id)
     for every endpoint; cc_id = min doc_id reachable. The numeric-id twin
     of stages/cc.py (same fixpoint, same localCheckpoint lineage cut);
-    dup components are shallow so rounds ~ O(diameter) stays small."""
+    with per-round path halving, so rounds ~ O(log diameter)."""
     edges = (pairs.select(F.col("a").cast("long").alias("src"),
                           F.col("b").cast("long").alias("dst"))
              .union(pairs.select(F.col("b").cast("long"),

@@ -11,7 +11,7 @@ expressed as DataFrame self-joins"):
   2. min-label propagation over that edge list until fixpoint
      (one round = edge join + groupBy min + label join).
 
-Converges in O(component diameter) rounds — near-dup components are shallow.
+Converges in O(log component diameter) rounds (path halving each round).
 Scale devices:
   * singleton buckets (the overwhelming majority at low collision rates)
     emit no edges, so their docs never enter the loop at all; the loop's
