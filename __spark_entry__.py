@@ -199,8 +199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hashst.run(bags_stage.run(_docs_as_images(_docs(s, d)),
                                   _FLAGSHIP_CFG), _FLAGSHIP_CFG)[1]
         .groupBy("hashtable").agg(F.count(F.lit(1)).alias("n_bands")))
+    # ann_lsh_topk moved OUT of rows-only in r3: the NumPy bucketing now
+    # shares lsh_buckets_sql's 6dp grid, so a plane-literal oracle
+    # reproduces buckets + ranking bit-for-bit (VERDICT r2 #6)
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk(
-        _emb(s, d), n_queries=20, k=5, nbits=6, ntables=16)
+        _emb(s, d), n_queries=20, k=5, nbits=_TOPK_NBITS,
+        ntables=_TOPK_NTABLES)
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _emb(s, d), n_queries=20, k=5, n_centroids=16, nprobe=4)
     q["simhash_phash_pairs"] = _simhash_phash_query
@@ -470,17 +474,24 @@ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
 # ANN cosine config — shared by the Spark query and its DuckDB oracle (the
 # oracle carries the SAME hyperplanes as double literals, so bucketing and
 # verify replicate bit-for-bit on the 6dp grid). dim is fixed by the
-# testdata embeddings schema.
+# testdata embeddings schema. The topk variant uses its own (nbits, ntables)
+# point; since r3 lsh_bucketed (NumPy matmul) rounds on the same grid as
+# lsh_buckets_sql, BOTH bucketing paths are oracle-reproducible.
 _EMB_DIM, _ANN_NBITS, _ANN_NTABLES = 64, 4, 24
+_TOPK_NBITS, _TOPK_NTABLES = 6, 16
+
+
+def _planes_values(nbits: int, ntables: int) -> str:
+    """The hyperplanes as DuckDB VALUES rows (tbl, bit, p DOUBLE[])."""
+    planes = similarity.hyperplane_list(_EMB_DIM, nbits, ntables)
+    return ",\n".join(
+        f"({i // nbits}, {i % nbits}, "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
 
 
 def _ann_planes_values() -> str:
-    """The hyperplanes as DuckDB VALUES rows (tbl, bit, p DOUBLE[])."""
-    planes = similarity.hyperplane_list(_EMB_DIM, _ANN_NBITS, _ANN_NTABLES)
-    return ",\n".join(
-        f"({i // _ANN_NBITS}, {i % _ANN_NBITS}, "
-        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[])"
-        for i, p in enumerate(planes))
+    return _planes_values(_ANN_NBITS, _ANN_NTABLES)
 
 _TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
            "string_split(trim(text), ' ') AS tk FROM documents)")
@@ -643,6 +654,30 @@ SELECT c.a, c.b,
        round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos
 FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
 WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= 0.40"""
+
+    o["ann_lsh_topk"] = f"""
+WITH {_EMB_NORM},
+pl AS (SELECT * FROM (VALUES
+{_planes_values(_TOPK_NBITS, _TOPK_NTABLES)}
+) t(tbl, bit, p)),
+proj AS (SELECT e.vec_id, pl.tbl,
+                CASE WHEN round(list_dot_product(e.v, pl.p), 6) > 0
+                     THEN (1::BIGINT << pl.bit) ELSE 0 END AS term
+         FROM e CROSS JOIN pl),
+bk AS (SELECT vec_id, tbl, sum(term)::BIGINT AS bucket
+       FROM proj GROUP BY vec_id, tbl),
+cand AS (SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
+         FROM bk q JOIN bk x ON q.tbl = x.tbl AND q.bucket = x.bucket
+         WHERE q.vec_id < 20 AND x.vec_id != q.vec_id),
+s AS (SELECT c.qid, c.nid,
+             round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+      FROM cand c JOIN n a ON a.vec_id = c.qid
+      JOIN n b ON b.vec_id = c.nid),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT qid, nid, cos, rank::BIGINT AS rank FROM r WHERE rank <= 5"""
 
     o["embedding_topk"] = f"""
 WITH {_EMB_NORM},

@@ -19,8 +19,15 @@ Two storage backends behind one surface (north_rule names Iceberg):
   Requires the iceberg-spark runtime on the classpath
   (``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-*``
   plus a ``spark.sql.catalog.<name>`` config) — the constructor validates
-  and fails fast with guidance. This sandbox has no Iceberg jar, so the
-  path is exercised on a real cluster only.
+  and fails fast with guidance. This sandbox has no Iceberg jar (and no
+  network to vendor one), so the branch's control flow is covered by the
+  metadata-surface stub in tests/test_iceberg.py (writeTo chain, snapshot
+  resume incl. rollback invalidation, ``.files``/``.snapshots`` lineage,
+  DROP-on-reset) plus a skip-unless-jar end-to-end test that lights up on
+  a real cluster. ``partitionedBy(F.col(c))`` is the identity partition
+  transform — verified against the pyspark 4.1.2 DataFrameWriterV2
+  signature (ColumnOrName; years/days/bucket are the optional non-identity
+  transforms).
 * ``backend="parquet"`` (default) — hive-layout parquet directories with
   the same partitioning, completeness and metrics contracts. Partition
   pruning on the ``bands(hashtable=...)`` layout is proven by explain test
@@ -209,37 +216,61 @@ class CheckpointCatalog:
         self._save_manifest(m)
 
     # -- delta idempotency ---------------------------------------------------
-    def begin_delta(self, delta_id: str) -> None:
+    @staticmethod
+    def _delta_entry(raw) -> dict:
+        """Manifest delta entries are {'state': ..., 'content': ...} dicts
+        (plain strings from pre-r3 manifests are upgraded on read)."""
+        if isinstance(raw, str):
+            return {"state": raw, "content": None}
+        return dict(raw or {})
+
+    def begin_delta(self, delta_id: str, content_fp: str | None = None) -> None:
         """Mark an incremental delta as in-flight. Refuses a delta that was
         already committed (duplicate invocation would double-append rows and
         silently inflate weighted-Jaccard/eval sums — ADVICE r1) and one that
         is still pending (a crash mid-append left partially-applied stage
         files; parquet appends cannot roll back, so the derived stages must
         be reset and the delta retried under a fresh id, or the run rebuilt).
-        On Iceberg the same contract is a MERGE on the delta id."""
+        ``content_fp`` (payload hash, incremental.delta_fingerprint) is stored
+        so a later re-drop of the same ids with changed content is reported
+        as such. On Iceberg the same contract is a MERGE on the delta id."""
         m = self._manifest()
         deltas = m.setdefault("deltas", {})
-        state = deltas.get(delta_id)
-        if state == "committed":
+        entry = self._delta_entry(deltas.get(delta_id))
+        if entry.get("state") == "committed":
+            stored = entry.get("content")
+            detail = (" with DIFFERENT content (changed-payload re-drop)"
+                      if stored and content_fp and stored != content_fp
+                      else "")
             raise ValueError(
-                f"delta {delta_id} already applied — refusing duplicate "
-                f"append (rows would double)")
-        if state == "pending":
+                f"delta {delta_id} already applied{detail} — refusing "
+                f"duplicate append (rows would double)")
+        if entry.get("state") == "pending":
             raise ValueError(
                 f"delta {delta_id} is pending from a crashed append — "
                 f"stage tables may hold a partial delta; reset and re-run")
-        deltas[delta_id] = "pending"
+        deltas[delta_id] = {"state": "pending", "content": content_fp}
         self._save_manifest(m)
 
     def commit_delta(self, delta_id: str) -> None:
         m = self._manifest()
-        m.setdefault("deltas", {})[delta_id] = "committed"
+        deltas = m.setdefault("deltas", {})
+        entry = self._delta_entry(deltas.get(delta_id))
+        entry["state"] = "committed"
+        deltas[delta_id] = entry
         self._save_manifest(m)
 
     def delta_state(self, delta_id: str) -> str | None:
         """'pending' | 'committed' | None — read-only probe used by the
         streaming ingest to skip crash-replayed batches idempotently."""
-        return self._manifest().get("deltas", {}).get(delta_id)
+        return self._delta_entry(
+            self._manifest().get("deltas", {}).get(delta_id)).get("state")
+
+    def delta_content(self, delta_id: str) -> str | None:
+        """The payload fingerprint recorded when the delta began (None for
+        pre-r3 manifests or deltas begun without one)."""
+        return self._delta_entry(
+            self._manifest().get("deltas", {}).get(delta_id)).get("content")
 
     # -- lineage + metrics ---------------------------------------------------
     def _stage_files(self, stage: str) -> list[str]:

@@ -50,12 +50,33 @@ ALGORITHMS = ("label_propagation", "multilevel", "fastgreedy",
 WALKTRAP_CAP = 1536      # n³ matmul guard; above this walktrap -> multilevel
 
 
+def effective_algorithm(algorithm: str, n: int) -> str:
+    """The algorithm detect() will ACTUALLY run for an n-node component —
+    surfaces the documented cap fallbacks (walktrap above WALKTRAP_CAP and
+    edge_betweenness above EDGE_BETWEENNESS_CAP degrade to multilevel)
+    so callers can mark outputs with the real algorithm instead of the
+    requested one (VERDICT r2 #5: a 'walktrap' run on big components
+    quietly wasn't)."""
+    if algorithm not in ALGORITHMS:
+        raise ValueError(f"unknown community algorithm {algorithm!r}; "
+                         f"choose from {ALGORITHMS}")
+    if algorithm == "walktrap" and n > WALKTRAP_CAP:
+        return "multilevel"
+    if algorithm == "edge_betweenness" and n > EDGE_BETWEENNESS_CAP:
+        return "multilevel"
+    return algorithm
+
+
 def detect(adj: np.ndarray, algorithm: str = "label_propagation",
            rounds: int = 5) -> np.ndarray:
     """Dispatch to one of ALGORITHMS; returns canonical labels."""
     n = adj.shape[0]
+    algorithm = effective_algorithm(algorithm, n)
     if n <= 2 or adj.max() <= 0:
-        return np.zeros(n, dtype=np.int64)
+        # degenerate inputs still respect connectivity: a disconnected
+        # 2-node or all-zero adjacency must NOT merge into one community
+        # (ADVICE r2: the old zeros(n) return bypassed the component guard)
+        return _canonicalize(_components(adj))
     if algorithm == "label_propagation":
         labels = label_propagation(adj, rounds)
     elif algorithm == "multilevel":
@@ -63,17 +84,13 @@ def detect(adj: np.ndarray, algorithm: str = "label_propagation",
     elif algorithm == "fastgreedy":
         labels = fastgreedy(adj)
     elif algorithm == "walktrap":
-        labels = (walktrap(adj) if n <= WALKTRAP_CAP else multilevel(adj))
+        labels = walktrap(adj)
     elif algorithm == "leading_eigenvector":
         labels = leading_eigenvector(adj)
     elif algorithm == "infomap":
         labels = infomap(adj)
-    elif algorithm == "edge_betweenness":
-        labels = (edge_betweenness(adj) if n <= EDGE_BETWEENNESS_CAP
-                  else multilevel(adj))
     else:
-        raise ValueError(f"unknown community algorithm {algorithm!r}; "
-                         f"choose from {ALGORITHMS}")
+        labels = edge_betweenness(adj)
     # zero-weight cuts are hard boundaries: intersect the partition with
     # the graph's connected components so no kernel can return a community
     # spanning nodes with no path between them (modularity-blind cases —

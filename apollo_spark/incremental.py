@@ -14,12 +14,21 @@ Cassandra writes (bags.py:23, hasher.py:186-201), hashes-only resetdb
   2. WMH-hash and band the delta only (params regenerate from the seed —
      nothing to load);
   3. append bags/signatures/bands deltas to the stage tables;
-  4. invalidate and recompute only the cheap global stages (candidate
-     extension passes, CC, clusters) — CC warm-starts are unnecessary
-     because the fixpoint's working set is |dup edges|, not the corpus.
+  4. extend the candidate passes O(|delta|)-style (round-2 VERDICT #3 —
+     they used to reset + re-extract the full corpus): new phash pairs
+     come from a delta-vs-corpus block join over delta-touched buckets
+     only (candidates.simhash_pairs_delta), and substring fingerprints are
+     extracted for the delta alone and appended to the checkpointed
+     fingerprint table;
+  5. invalidate and recompute only the cheap global stages (the substring
+     bucket census over the compact fingerprint table, CC, clusters) — CC
+     warm-starts are unnecessary because the fixpoint's working set is
+     |dup edges|, not the corpus.
 
-Cost per delta: O(|delta|) extraction+hashing + one CC over dup edges —
-vs O(|corpus|) for a full rerun.
+Cost per delta: O(|delta|) extraction+hashing + narrow corpus-side scans
+(two-column phash projection; compact fingerprint/bands tables for the
+census and CC input) — no per-row re-extraction of old images anywhere,
+vs O(|corpus|) extraction for a full rerun.
 """
 
 from __future__ import annotations
@@ -30,21 +39,31 @@ from pyspark.sql import functions as F
 from apollo_spark.checkpoint import CheckpointCatalog
 from apollo_spark.config import PipelineConfig
 from apollo_spark.stages import bags as bags_stage
-from apollo_spark.stages import hashst
+from apollo_spark.stages import candidates, hashst
 
-DERIVED_STAGES = ["simhash_pairs", "substring_membership", "cc", "clusters",
+# stages rebuilt per delta (cheap, derived from checkpointed inputs);
+# simhash_pairs / substring_fp are NOT here — they are appended
+DERIVED_STAGES = ["substring_membership", "cc", "clusters",
                   "clusters_refined", "cluster_eval"]
 
 
-def delta_fingerprint(new_images: DataFrame) -> str:
-    """Order-insensitive identity of a delta: xor of image-id hashes plus
-    the row count (one distributed agg, no collect). Shared by the batch
-    append and the streaming ingest so a crash-replayed micro-batch maps
-    to the same manifest entry."""
+def delta_fingerprint(new_images: DataFrame) -> tuple[str, str]:
+    """(delta_id, content_fp) — order-insensitive identity of a delta in one
+    distributed agg, no collect. ``delta_id`` (xor of image-id hashes + row
+    count) identifies the BATCH: a crash-replayed micro-batch maps to the
+    same manifest entry. ``content_fp`` additionally folds caption, phash
+    and the image bytes, so a re-drop of the same image ids with CHANGED
+    payload is distinguishable from a crash replay (ADVICE r2: ids-only
+    fingerprints made updated-content drops vanish as 'skip_replay').
+    Shared by the batch append and the streaming ingest."""
     fp_row = new_images.agg(
         F.expr("bit_xor(xxhash64(image_id))").alias("s"),
-        F.count(F.lit(1)).alias("n")).first()
-    return f"{int(fp_row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:x}-{fp_row['n']}"
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(image_id, caption, phash, bytes))")
+        .alias("c")).first()
+    mask = 0xFFFFFFFFFFFFFFFF
+    return (f"{int(fp_row['s'] or 0) & mask:x}-{fp_row['n']}",
+            f"{int(fp_row['c'] or 0) & mask:x}")
 
 
 def append_images(spark: SparkSession, all_images: DataFrame | None,
@@ -73,8 +92,8 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     # delta identity recorded pending -> committed in the manifest so a
     # duplicate invocation is refused and a crash between the stage appends
     # is detectable (ADVICE r1: non-atomic appends silently duplicated rows)
-    delta_id = delta_fingerprint(new_images)
-    cat.begin_delta(delta_id)
+    delta_id, content_fp = delta_fingerprint(new_images)
+    cat.begin_delta(delta_id, content_fp)
 
     feats = bags_stage.extract_features(new_images, cfg)
     delta_bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg) \
@@ -88,6 +107,17 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
         cat.append("images", new_images)
     if all_images is None:
         all_images = cat.load("images")
+    if extensions:
+        # O(|delta|) extension appends (module docstring step 4). A base
+        # run built with extensions=False has neither stage complete —
+        # run_pipeline below then builds them fully over the extended
+        # corpus (the correct fallback).
+        if cat.is_complete("simhash_pairs"):
+            cat.append("simhash_pairs", candidates.simhash_pairs_delta(
+                new_images, all_images, cfg))
+        if cat.is_complete("substring_fp"):
+            cat.append("substring_fp", candidates.substring_fingerprints(
+                new_images, cfg))
     cat.commit_delta(delta_id)
 
     # global stages derive from the (now extended) bands — rebuild them

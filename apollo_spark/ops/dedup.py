@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apollo_spark.ops.skew import SALT_TARGET, salted_pairs
 from apollo_spark.ops.text import md5_long, tokens_col
 
 DEFAULT_SHINGLE_W = 5    # word-shingle width
@@ -100,9 +101,6 @@ def lsh_buckets(bands: DataFrame, min_size: int = 2,
             .filter((F.col("n") >= min_size) & (F.col("n") <= max_size)))
 
 
-SALT_TARGET = 64         # max a-side rows per (bucket, salt) join shard
-
-
 def candidate_pairs(bands: DataFrame,
                     salt_target: int = SALT_TARGET) -> DataFrame:
     """Co-bucketed pairs (a < b), distinct across bands — the J2 bucket
@@ -111,25 +109,13 @@ def candidate_pairs(bands: DataFrame,
 
     SALTED SKEW JOIN (north_rule: salted repartitioning): without salting,
     a bucket at the 512 cap lands its entire 512² = 262k-pair cross product
-    on ONE shuffle task. Buckets above ``salt_target`` members are split
-    into s = ceil(n / salt_target) shards: the a-side gets
-    salt = hash(doc_id) mod s, the b-side is replicated once per shard, and
-    the join key becomes (band, salt) — every (a, b) combination still
-    appears exactly once (at a's salt), but no task holds more than
-    ~salt_target·n pairs. Buckets at or below salt_target have s = 1 and
-    pay nothing. AQE skew splitting remains on as the backstop for residual
-    imbalance in the hash."""
+    on ONE shuffle task — ops.skew.salted_pairs shards it (semantics-free;
+    see that module). The bucket census's ``n`` is reused as the shard
+    divisor, so no extra count aggregation runs."""
     ok = lsh_buckets(bands)                      # (band_idx, band_key, n)
     m = bands.join(ok, ["band_idx", "band_key"])
-    nshards = F.greatest(
-        F.lit(1), F.ceil(F.col("n") / salt_target)).cast("int")
-    a = m.select("band_idx", "band_key", F.col("doc_id").alias("a"),
-                 F.pmod(F.xxhash64("doc_id"), nshards).cast("int")
-                 .alias("salt"))
-    b = m.select("band_idx", "band_key", F.col("doc_id").alias("b"),
-                 F.explode(F.sequence(F.lit(0), nshards - 1)).alias("salt"))
-    return (a.join(b, ["band_idx", "band_key", "salt"])
-            .filter(F.col("a") < F.col("b"))
+    return (salted_pairs(m, ["band_idx", "band_key"], "doc_id",
+                         salt_target=salt_target, n_col="n")
             .select("a", "b").distinct())
 
 
@@ -285,7 +271,16 @@ def simhash_pairs(docs: DataFrame, bits: int = 32,
     blocks — any pair within the ball agrees exactly on >= 1 block — join
     per block, verify with xor+bit_count, distinct. Linear in input +
     per-block bucket joins instead of the O(n²) cross join (which the
-    oracle uses, brute force, to certify equivalence)."""
+    oracle uses, brute force, to certify equivalence).
+
+    The block self-join is SALTED (round-2 VERDICT #1: blocks of 8 bits
+    mean 256 possible values per position, so a skewed corpus — many
+    near-zero sketches — puts O(n) docs in one (blk, val) key and O(n²)
+    pairs on one shuffle task; the skew device is shared with the MinHash
+    pair join and is semantics-free, so the brute-force oracle is
+    unchanged). No bucket CAP here on purpose: unlike LSH candidates,
+    Hamming-ball pairs are exact output, and a cap would silently drop
+    true near-dups — the salting bounds the per-task work instead."""
     nblocks = max_hamming + 1
     bw = bits // nblocks
     sig = simhash(docs, bits)
@@ -294,14 +289,11 @@ def simhash_pairs(docs: DataFrame, bits: int = 32,
         f"i -> struct(i AS blk, shiftright(simhash, i * {bw}) & {(1 << bw) - 1} AS val))"))
     tagged = (sig.select("doc_id", "simhash", blocks.alias("b"))
               .select("doc_id", "simhash", "b.blk", "b.val"))
-    a = tagged.select("blk", "val", F.col("doc_id").alias("a"),
-                      F.col("simhash").alias("sa"))
-    b = tagged.select("blk", "val", F.col("doc_id").alias("b"),
-                      F.col("simhash").alias("sb"))
-    return (a.join(b, ["blk", "val"])
-            .filter(F.col("a") < F.col("b"))
+    return (salted_pairs(tagged, ["blk", "val"], "doc_id",
+                         payload=("simhash",))
             .withColumn("hamming",
-                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+                        F.bit_count(F.col("simhash_a")
+                                    .bitwiseXOR(F.col("simhash_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
             .distinct())

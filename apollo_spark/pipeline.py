@@ -69,9 +69,16 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
 
     cc_input = out["bands"]
     if extensions:
+        # simhash_pairs and substring_fp are APPENDABLE stages: incremental
+        # deltas extend them with delta-vs-corpus passes (incremental.py)
+        # instead of resetting — only the census/membership below (cheap,
+        # compact-table aggregation) rebuilds per delta
         stage("simhash_pairs", lambda: candidates.simhash_pairs(images, cfg))
+        stage("substring_fp",
+              lambda: candidates.substring_fingerprints(images, cfg))
         stage("substring_membership",
-              lambda: candidates.substring_membership(images, cfg))
+              lambda: candidates.membership_from_fp(
+                  out["substring_fp"], cfg))
         cc_input = (cc_input
                     .unionByName(candidates.pairs_as_membership(
                         out["simhash_pairs"]))

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from apollo_spark.config import PipelineConfig
 from apollo_spark.core import community
 
-REFINE_SCHEMA = "image_id string, cluster_id string"
+REFINE_SCHEMA = "image_id string, cluster_id string, algorithm string"
 MAX_BUCKET_FANIN = 256  # buckets larger than this add no community signal
                         # (near-uniform weight) — skipped in the kernel
 
@@ -71,17 +71,26 @@ def _component_adjacency(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 
 def _refine_kernel(pdf: pd.DataFrame, algorithm: str,
                    rounds: int) -> pd.DataFrame:
-    """Community-detect one component; labels -> '<cc_id>#<min member>'."""
+    """Community-detect one component; labels -> '<cc_id>#<min member>'.
+
+    The ``algorithm`` output column carries the algorithm that ACTUALLY ran
+    (community.effective_algorithm): when a cap fallback triggers (walktrap/
+    edge_betweenness above their size caps degrade to multilevel) the rows
+    say so instead of silently claiming the requested algorithm
+    (VERDICT r2 #5)."""
     cc_id = str(pdf["cc_id"].iloc[0])
     docs, adj = _component_adjacency(pdf)
     n = len(docs)
     if n <= 2:
-        return pd.DataFrame({"image_id": docs, "cluster_id": [cc_id] * n})
+        return pd.DataFrame({"image_id": docs, "cluster_id": [cc_id] * n,
+                             "algorithm": ["passthrough"] * n})
+    used = community.effective_algorithm(algorithm, n)
     labels = community.detect(adj, algorithm, rounds)
     # canonical label = smallest member index -> docs sorted gives min id
     return pd.DataFrame({
         "image_id": docs,
         "cluster_id": [f"{cc_id}#{docs[lab]}" for lab in labels],
+        "algorithm": [used] * n,
     })
 
 
@@ -90,9 +99,13 @@ def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
                       max_kernel_size: int = 4_000,
                       algorithm: str | None = None) -> DataFrame:
     """cc(image_id, cc_id) x memb(image_id, hashtable, band) ->
-    (image_id, cluster_id); fat components refined, size-2 passed through,
-    singletons dropped (graph.py:213-219 triage). ``algorithm`` overrides
-    cfg.community_algorithm (one of core.community.ALGORITHMS).
+    (image_id, cluster_id, algorithm); fat components refined, size-2 passed
+    through, singletons dropped (graph.py:213-219 triage). ``algorithm``
+    overrides cfg.community_algorithm (one of core.community.ALGORITHMS);
+    the output's ``algorithm`` column records what actually ran per
+    component — 'passthrough' for size-2/leftovers, 'giant_passthrough'
+    above max_kernel_size, and the cap-fallback algorithm (e.g. multilevel
+    for an over-WALKTRAP_CAP walktrap request) where detect() degraded.
 
     Skew guard: applyInPandas assigns ONE task per group, so a pathological
     mega-component (hot-bucket chaining) would pin a straggler executor and
@@ -107,9 +120,11 @@ def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
                          f"choose from {community.ALGORITHMS}")
     sizes = cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs_only = (cc.join(sizes.filter("n = 2"), "cc_id")
-                  .select("image_id", F.col("cc_id").alias("cluster_id")))
+                  .select("image_id", F.col("cc_id").alias("cluster_id"),
+                          F.lit("passthrough").alias("algorithm")))
     giants = (cc.join(sizes.filter(f"n > {max_kernel_size}"), "cc_id")
-              .select("image_id", F.col("cc_id").alias("cluster_id")))
+              .select("image_id", F.col("cc_id").alias("cluster_id"),
+                      F.lit("giant_passthrough").alias("algorithm")))
     fat = cc.join(sizes.filter(
         f"n >= {max(min_size, 3)} AND n <= {max_kernel_size}"), "cc_id")
     sub = (fat.join(memb, "image_id")
@@ -122,6 +137,7 @@ def refine_components(cc: DataFrame, memb: DataFrame, cfg: PipelineConfig,
     # fat-component members with no membership rows (possible only when cc
     # came from extension edges whose memb was not passed in) stay whole
     leftover = (fat.join(refined.select("image_id"), "image_id", "left_anti")
-                .select("image_id", F.col("cc_id").alias("cluster_id")))
+                .select("image_id", F.col("cc_id").alias("cluster_id"),
+                        F.lit("passthrough").alias("algorithm")))
     return (refined.unionByName(pairs_only).unionByName(leftover)
             .unionByName(giants))

@@ -16,10 +16,13 @@ Exactly-once across restarts is the composition of two mechanisms:
   * the manifest's delta fingerprints (checkpoint.begin/commit_delta,
     keyed by the batch's order-insensitive image-id hash): a replayed
     batch whose delta already committed is SKIPPED (idempotent), and a
-    batch that crashed mid-append is surfaced loudly (parquet appends
-    cannot roll back) instead of silently double-appending. A side effect
-    worth having in a dedup engine: re-dropping a file with the same
-    image ids is refused as a duplicate delta.
+    batch that crashed mid-append OR mid-bootstrap is surfaced loudly
+    (parquet appends cannot roll back) instead of silently
+    double-appending. A side effect worth having in a dedup engine:
+    re-dropping a file with the same image ids and payload is skipped
+    (with a warning) as a duplicate delta, and a re-drop with the same
+    ids but CHANGED payload is refused loudly (the content fingerprint
+    distinguishes it from a crash replay).
 
 Scale shape: each micro-batch costs O(|batch|) extraction + WMH hashing
 plus one CC over dup edges (the incremental contract, not O(corpus));
@@ -47,17 +50,31 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
     the base run), 'append', 'skip_empty', or 'skip_replay' (delta already
     committed — a crash-replayed batch).
 
-    Crash-safety ordering: the bootstrap path uses only overwrite-mode
-    writes (replay harmless) and records its delta LAST; the append path
-    delegates to append_images, whose begin/commit window brackets every
-    stage append including the images stage."""
+    Crash-safety ordering (ADVICE r2): BOTH paths record the delta as
+    pending BEFORE any stage write — the bootstrap's begin_delta lands
+    first, so a batch replayed after a mid-bootstrap crash hits the loud
+    'pending' refusal instead of silently dispatching to the append path
+    and double-appending (the old ordering marked vocab/bands complete
+    before the delta existed, opening exactly that window). The append
+    path delegates to append_images, whose begin/commit window brackets
+    every stage append including the images stage."""
     batch = batch_df.localCheckpoint()
     if not batch.take(1):
         return "skip_empty"
     cat = CheckpointCatalog(spark, out_dir, cfg)
     from apollo_spark.pipeline import run_pipeline
-    delta_id = delta_fingerprint(batch)
+    delta_id, content_fp = delta_fingerprint(batch)
     if cat.delta_state(delta_id) == "committed":
+        stored = cat.delta_content(delta_id)
+        if stored is not None and stored != content_fp:
+            raise ValueError(
+                f"delta {delta_id} was already ingested with DIFFERENT "
+                f"content — a changed-payload re-drop is not a crash "
+                f"replay; ingest it under new image ids (or resetdb)")
+        import warnings
+        warnings.warn(
+            f"skipping committed delta {delta_id} (crash-replayed batch)",
+            RuntimeWarning, stacklevel=2)
         # rows are already in, but a crash after the commit and before the
         # derived-stage rebuild finished leaves clusters reset — finish the
         # rebuild here (complete stages just load, so this is idempotent)
@@ -67,12 +84,12 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
         return "skip_replay"
 
     if not cat.is_complete("vocab") or not cat.is_complete("bands"):
-        # first batch bootstraps the base run: overwrite-idempotent writes
-        # first, manifest record last (a replay between them just redoes
-        # the overwrites)
+        # first batch bootstraps the base run: the delta goes pending FIRST,
+        # then the overwrite-idempotent stage writes, then images + commit —
+        # a crash anywhere inside surfaces as the pending refusal on replay
+        cat.begin_delta(delta_id, content_fp)
         run_pipeline(spark, batch, cfg, out_dir, extensions=extensions)
         cat.write("images", batch)
-        cat.begin_delta(delta_id)
         cat.commit_delta(delta_id)
         return "bootstrap"
 

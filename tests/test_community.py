@@ -165,7 +165,9 @@ class TestKernels:
 
     def test_empty_and_tiny(self):
         for alg in cm.ALGORITHMS:
-            assert cm.detect(np.zeros((2, 2)), alg).tolist() == [0, 0]
+            # disconnected pair: one community each (ADVICE r2 — the early
+            # return must respect connectivity like the main path does)
+            assert cm.detect(np.zeros((2, 2)), alg).tolist() == [0, 1]
             assert cm.detect(np.zeros((0, 0)), alg).tolist() == []
 
     def test_modularity_value(self):
@@ -218,3 +220,62 @@ class TestRefineAlgorithms:
         empty = spark.createDataFrame([], "image_id string, cc_id string")
         with pytest.raises(ValueError, match="unknown community"):
             refine.refine_components(empty, empty, cfg, algorithm="nope")
+
+
+class TestFallbackSurfacing:
+    """VERDICT r2 #5 + ADVICE r2: cap fallbacks are visible, degenerate
+    inputs respect connectivity."""
+
+    def test_effective_algorithm_caps(self):
+        assert cm.effective_algorithm("walktrap", cm.WALKTRAP_CAP) == "walktrap"
+        assert cm.effective_algorithm(
+            "walktrap", cm.WALKTRAP_CAP + 1) == "multilevel"
+        assert cm.effective_algorithm(
+            "edge_betweenness", cm.EDGE_BETWEENNESS_CAP + 1) == "multilevel"
+        assert cm.effective_algorithm("label_propagation", 10 ** 6) \
+            == "label_propagation"
+        with pytest.raises(ValueError, match="unknown community"):
+            cm.effective_algorithm("nope", 3)
+
+    def test_early_return_respects_components(self):
+        """ADVICE r2: a disconnected 2-node / all-zero adjacency must not
+        merge into a single community via the n<=2 early return."""
+        two_disconnected = np.zeros((2, 2))
+        assert cm.detect(two_disconnected, "multilevel").tolist() == [0, 1]
+        three_zero = np.zeros((3, 3))
+        assert cm.detect(three_zero, "walktrap").tolist() == [0, 1, 2]
+        two_connected = np.array([[0.0, 1.0], [1.0, 0.0]])
+        assert cm.detect(two_connected, "multilevel").tolist() == [0, 0]
+
+    def test_refine_kernel_marks_fallback_algorithm(self):
+        """An over-WALKTRAP_CAP component requested as walktrap reports
+        algorithm='multilevel' in its rows — the run no longer quietly
+        isn't walktrap (VERDICT r2 #5)."""
+        import pandas as pd
+        from apollo_spark.stages.refine import _refine_kernel
+        n = cm.WALKTRAP_CAP + 1
+        rows = []
+        # overlapping 256-member buckets chain the component together
+        step, width = 255, 256
+        for b, start in enumerate(range(0, n - 1, step)):
+            for i in range(start, min(start + width, n)):
+                rows.append((f"d{i:05d}", "cc0", 0, f"bk{b}".encode()))
+        pdf = pd.DataFrame(rows,
+                           columns=["image_id", "cc_id", "hashtable", "band"])
+        out = _refine_kernel(pdf, "walktrap", rounds=5)
+        assert len(out) == n
+        assert set(out["algorithm"]) == {"multilevel"}
+        # a small component requested as walktrap really runs walktrap
+        small = pdf[pdf["image_id"] < "d00030"]
+        out_small = _refine_kernel(small, "walktrap", rounds=5)
+        assert set(out_small["algorithm"]) == {"walktrap"}
+
+    def test_refine_passthrough_markers(self, spark, cfg):
+        from apollo_spark.stages import refine
+        cc = spark.createDataFrame(
+            [("p1", "c"), ("p2", "c")], "image_id string, cc_id string")
+        memb = spark.createDataFrame(
+            [("p1", 0, b"x"), ("p2", 0, b"x")],
+            "image_id string, hashtable int, band binary")
+        out = refine.refine_components(cc, memb, cfg)
+        assert {r["algorithm"] for r in out.collect()} == {"passthrough"}

@@ -486,3 +486,104 @@ class TestPipeline:
         ext_pairs = {(r["a"], r["b"])
                      for r in cc_st.dup_pairs(ext["cc"]).collect()}
         assert base_pairs <= ext_pairs
+
+
+class TestIncrementalExtensions:
+    """Round-2 VERDICT #3: extension passes must be O(|delta|) — no
+    re-extraction of the corpus per append — while matching a full
+    rebuild's results."""
+
+    def test_append_extends_without_rescan_and_matches_rebuild(
+            self, spark, cfg, tmp_path, monkeypatch):
+        from apollo_spark import synth
+        from apollo_spark.checkpoint import CheckpointCatalog
+        from apollo_spark.incremental import append_images
+        from apollo_spark.pipeline import run_pipeline
+        from apollo_spark.stages import candidates as cand_mod
+        pdf = synth.gen_corpus(240, seed=17)
+        gt = pdf["gt_cluster"].to_numpy()
+        k = next(i for i in range(150, 230) if gt[i - 1] == gt[i])
+        base = spark.createDataFrame(pdf.iloc[:k].drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(
+            pdf.iloc[k:].drop(columns=["gt_cluster"]))
+        full = base.unionByName(delta)
+        n_delta = 240 - k
+        inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+        run_pipeline(spark, base, cfg, inc_dir)
+
+        fp_calls, full_builder_calls = [], []
+        real_fp = cand_mod.substring_fingerprints
+        real_sp = cand_mod.simhash_pairs
+
+        def spy_fp(images, c):
+            fp_calls.append(images.count())
+            return real_fp(images, c)
+
+        def spy_sp(images, c):
+            full_builder_calls.append(images.count())
+            return real_sp(images, c)
+
+        monkeypatch.setattr(cand_mod, "substring_fingerprints", spy_fp)
+        monkeypatch.setattr(cand_mod, "simhash_pairs", spy_sp)
+        res = append_images(spark, full, delta, cfg, inc_dir)
+        monkeypatch.undo()
+        # substring extraction ran over the DELTA only; the full-corpus
+        # builders never re-ran (the old shape reset + re-extracted 240)
+        assert fp_calls == [n_delta]
+        assert full_builder_calls == []
+
+        run_pipeline(spark, full, cfg, full_dir)
+        inc_cat = CheckpointCatalog(spark, inc_dir, cfg)
+        full_cat = CheckpointCatalog(spark, full_dir, cfg)
+        for stg in ("substring_fp", "substring_membership"):
+            a, b = inc_cat.load(stg), full_cat.load(stg)
+            assert a.exceptAll(b).count() == 0, f"{stg}: inc-only rows"
+            assert b.exceptAll(a).count() == 0, f"{stg}: rebuild-only rows"
+        inc_pairs = {(r["a"], r["b"])
+                     for r in inc_cat.load("simhash_pairs").collect()}
+        full_pairs = {(r["a"], r["b"])
+                      for r in full_cat.load("simhash_pairs").collect()}
+        assert inc_pairs == full_pairs and full_pairs
+        # cross-boundary phash/substring dups end in identical clusters
+        inc_cc = {(r["a"], r["b"])
+                  for r in cc_st.dup_pairs(res["cc"]).collect()}
+        full_cc = {(r["a"], r["b"])
+                   for r in cc_st.dup_pairs(full_cat.load("cc")).collect()}
+        assert inc_cc == full_cc and inc_cc
+
+
+class TestConfigChangeInvalidation:
+    def test_pipeline_rebuilds_on_hash_affecting_config_change(
+            self, spark, cfg, tmp_path):
+        """VERDICT r2 #8: flipping a hash-affecting config field must
+        invalidate the whole checkpoint at the PIPELINE level — the stale
+        stages are rebuilt through run_pipeline, not silently reused."""
+        from apollo_spark import synth
+        from apollo_spark.checkpoint import CheckpointCatalog
+        from apollo_spark.pipeline import run_pipeline
+        images = spark.createDataFrame(
+            synth.gen_corpus(120, seed=41).drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        res1 = run_pipeline(spark, images, cfg, out, extensions=False)
+        sigs1 = res1["signatures"].count()
+        # capture NOW: res1 reads the checkpoint dir lazily and the second
+        # run overwrites it
+        blob1 = len(res1["signatures"].first()["sig"])
+        assert CheckpointCatalog(spark, out, cfg).is_complete("signatures")
+
+        # same dir, different WMH sample count -> different signatures:
+        # old checkpoint must read as incomplete and rebuild
+        cfg2 = cfg.with_(size=64)
+        cat2 = CheckpointCatalog(spark, out, cfg2)
+        assert not cat2.is_complete("signatures")
+        res2 = run_pipeline(spark, images, cfg2, out, extensions=False)
+        assert cat2.is_complete("signatures")
+        assert res2["signatures"].count() == sigs1  # one row per image
+        # K halved -> half the sig blob bytes (K uint32 (k,t) pairs):
+        # proof the stage actually REBUILT under the new config
+        blob2 = len(res2["signatures"].first()["sig"])
+        assert blob2 * 2 == blob1
+        # and the ORIGINAL config now reads the dir as stale too (the
+        # manifest is keyed by one fingerprint, not a union)
+        assert not CheckpointCatalog(spark, out, cfg).is_complete(
+            "signatures")

@@ -123,3 +123,57 @@ class TestStreaming:
         assert apply_batch(spark, delta, cfg, out) == "skip_replay"
         assert cat.is_complete("clusters")
         assert cat.load("cc").count() == 120
+
+
+class TestCrashWindows:
+    """ADVICE r2: the bootstrap crash window and content-changed re-drops
+    must surface loudly instead of silently duplicating/vanishing."""
+
+    def test_bootstrap_crash_replay_refused(self, spark, cfg, tmp_path,
+                                            monkeypatch):
+        """A crash AFTER the bootstrap's stage writes begin but BEFORE
+        commit_delta leaves the delta pending; the replayed batch must hit
+        the loud 'pending' refusal, not dispatch to the append path and
+        double-append."""
+        import apollo_spark.pipeline as pl
+        pdf = synth.gen_corpus(60, seed=31)
+        batch = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+
+        real = pl.run_pipeline
+
+        def crash_after_stages(*a, **kw):
+            real(*a, **kw)           # stage writes land (vocab/bands done)
+            raise RuntimeError("simulated crash before commit_delta")
+
+        monkeypatch.setattr(pl, "run_pipeline", crash_after_stages)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(spark, batch, cfg, out)
+        monkeypatch.setattr(pl, "run_pipeline", real)
+        # vocab/bands ARE complete now — the old ordering would silently
+        # route this replay to the append path and double-append
+        cat = CheckpointCatalog(spark, out, cfg)
+        assert cat.is_complete("vocab") and cat.is_complete("bands")
+        with pytest.raises(ValueError, match="pending"):
+            apply_batch(spark, batch, cfg, out)
+
+    def test_content_changed_redrop_raises(self, spark, cfg, tmp_path):
+        """Same image ids, different payload: NOT a crash replay — refused
+        loudly instead of silently returning skip_replay."""
+        from pyspark.sql import functions as F
+        pdf = synth.gen_corpus(60, seed=32)
+        batch = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        assert apply_batch(spark, batch, cfg, out) == "bootstrap"
+        changed = batch.withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(" EDITED")))
+        with pytest.raises(ValueError, match="DIFFERENT content"):
+            apply_batch(spark, changed, cfg, out)
+
+    def test_replay_skip_warns(self, spark, cfg, tmp_path):
+        pdf = synth.gen_corpus(60, seed=33)
+        batch = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        apply_batch(spark, batch, cfg, out)
+        with pytest.warns(RuntimeWarning, match="crash-replayed"):
+            assert apply_batch(spark, batch, cfg, out) == "skip_replay"
