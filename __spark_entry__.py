@@ -5,7 +5,9 @@ the training-data ops ladder (dedup / similarity / text / multimodal) over
 the driver's testdata tables; ``oracle_sql()`` carries the DuckDB twin of
 each — identical math (md5-derived portable hashes, double-precision folds,
 6dp rounding grids) so value hashes match bit-for-bit. Kernel-backed stages
-(Weighted MinHash, LSH-ANN, binary decode) are rows-only entries.
+(Weighted MinHash, IVF/k-means, binary decode) are rows-only entries; the
+LSH-ANN paths are fully oracled since r3 (the NumPy bucketing shares the
+SQL path's 6dp grid, so plane-literal oracles reproduce the buckets).
 
 Operator map (SURVEY.md §2 ids):
   A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
@@ -14,7 +16,7 @@ Operator map (SURVEY.md §2 ids):
   J5/G1 dedup_cc/wmh_clusters · G5 cluster_sizes · G6 refined_clusters
   (+ refined_clusters_walktrap, the reference's default algorithm) ·
   V3 cluster_eval · per-row invariants validate_rows · axis extensions
-  simhash_phash_pairs / substring_candidates (winnowed, fully oracled) —
+  simhash_phash_pairs / substring_candidates (both fully oracled) —
   plus the dedup ladder (exact/minhash/simhash/ngram), the embedding
   near-dup triptych (cosine_neardup regime dispatcher / cosine_neardup_ann
   / cosine_neardup_ivf / cosine_exact), ANN top-k (LSH + IVF), text
@@ -94,7 +96,12 @@ def _flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _FLAGSHIP_CFG
     bags = bags_stage.run(images, cfg)
     _, bands = hashst.run(bags, cfg)
-    cc = cc_stage.connected_components(bands, cfg, all_ids=images)
+    # CC consumes bands TWICE (star_edges' census agg + join) — without an
+    # eager cut here the whole WMH mapInPandas chain executes twice (the
+    # r2->r3 wmh_clusters regression: ~2.6s of double kernel at sf0.1).
+    # run_pipeline doesn't need this: its bands input is a checkpoint scan.
+    cc = cc_stage.connected_components(bands.localCheckpoint(), cfg,
+                                       all_ids=images)
     return cc_stage.clusters(cc)
 
 
@@ -301,7 +308,8 @@ def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _FLAGSHIP_CFG
     bags = bags_stage.run(images, cfg).persist()
     _, bands = hashst.run(bags, cfg)
-    cc = cc_stage.connected_components(bands, cfg, all_ids=images)
+    cc = cc_stage.connected_components(bands.localCheckpoint(), cfg,
+                                       all_ids=images)
     return evalcc.evaluate(cc_stage.clusters(cc), bags, cfg.threshold)
 
 
@@ -317,6 +325,8 @@ def _refined_clusters_query(spark: SparkSession, sf_dir: str,
     cfg = _FLAGSHIP_CFG
     bags = bags_stage.run(images, cfg)
     _, bands = hashst.run(bags, cfg)
+    # bands feeds CC twice AND the refine membership join — cut once
+    bands = bands.localCheckpoint()
     cc = cc_stage.connected_components(bands, cfg, all_ids=images)
     return refine.refine_components(cc, bands, cfg, algorithm=algorithm)
 
@@ -343,11 +353,19 @@ def _substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-ball near-dup pass over real perceptual hashes (synthetic
-    image corpus with planted duplicate clusters); rows-only check."""
-    from apollo_spark import synth
-    images = spark.read.parquet(synth.cached_corpus_path(300)) \
-        .drop("gt_cluster")
+    """ext3 Hamming-ball pass (stages/candidates.simhash_pairs — capped +
+    salted block join), FULLY oracled since r3 over a PREFIX-derived phash
+    (md5-60bit of the caption's first 32 chars): documents sharing a
+    prefix collide at Hamming 0 — real near-dup structure on this corpus
+    (~23 shared-prefix groups at sf0.01) — and the hash is
+    SQL-reproducible, so DuckDB replicates blocks, the 2..256 bucket
+    census, and the bit_count verify bit-for-bit. Behavior on real
+    perceptual hashes with planted duplicate clusters stays pytest-gated
+    (tests/test_stages.py::TestCandidates)."""
+    images = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.expr("cast(conv(substring(md5(substring(text, 1, 32)), 1, 15), "
+               "16, 10) AS bigint)").alias("phash"))
     return candidates.simhash_pairs(images, PipelineConfig())
 
 
@@ -737,6 +755,26 @@ SELECT video_id, frame_idx,
             AS BIGINT) AS frame_sum_mod,
        CAST(16 AS BIGINT) AS n_frame_bytes
 FROM ex GROUP BY video_id, frame_idx"""
+
+    # ext3 Hamming-ball pass over the prefix-derived phash: pigeonhole
+    # blocks (4 x 16-bit), bucket census capped at [2, 256] exactly like
+    # stages/candidates.simhash_pairs, exact bit_count(xor) verify. The
+    # salting in the Spark join is semantics-free and invisible here.
+    o["simhash_phash_pairs"] = """
+WITH img AS (SELECT doc_id::VARCHAR AS image_id,
+                    ('0x' || substring(md5(substring(text, 1, 32)), 1, 15))
+                      ::BIGINT AS phash
+             FROM documents),
+blk AS (SELECT image_id, phash, j AS blk,
+               (phash >> (j * 16)) & 65535 AS val
+        FROM img CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+ok AS (SELECT blk, val FROM blk GROUP BY blk, val
+       HAVING count(*) BETWEEN 2 AND 256),
+bo AS (SELECT b.* FROM blk b JOIN ok USING (blk, val))
+SELECT DISTINCT a.image_id AS a, b.image_id AS b
+FROM bo a JOIN bo b USING (blk, val)
+WHERE a.image_id < b.image_id
+  AND bit_count(xor(a.phash, b.phash)) <= 3"""
 
     # ext4 exact-substring pass: winnowed L-gram fingerprints (L=32, W=4,
     # bucket cap 64 — PipelineConfig defaults), same md5-60bit gram hash

@@ -70,7 +70,8 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
                   new_images: DataFrame, cfg: PipelineConfig,
                   out_dir: str, extensions: bool = True,
                   refine: bool = False, evaluate: bool = False,
-                  append_images_stage: bool = False) -> dict:
+                  append_images_stage: bool = False,
+                  backend: str = "parquet") -> dict:
     """Append ``new_images`` to the run checkpointed at ``out_dir``.
 
     ``all_images`` must be the full corpus INCLUDING the delta (the
@@ -83,7 +84,7 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     """
     if all_images is None and not append_images_stage:
         raise ValueError("all_images=None requires append_images_stage")
-    cat = CheckpointCatalog(spark, out_dir, cfg)
+    cat = CheckpointCatalog(spark, out_dir, cfg, backend=backend)
     if not cat.is_complete("vocab") or not cat.is_complete("bands"):
         raise ValueError(f"no completed base run at {out_dir}")
     vocab = cat.load("vocab")
@@ -125,4 +126,4 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     from apollo_spark.pipeline import run_pipeline
     return run_pipeline(spark, all_images, cfg, out_dir,
                         extensions=extensions, refine=refine,
-                        evaluate=evaluate)
+                        evaluate=evaluate, backend=backend)

@@ -30,9 +30,13 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
                  cfg: PipelineConfig, out_dir: str,
                  extensions: bool = True,
                  evaluate: bool = False,
-                 refine: bool = False) -> dict:
-    """Returns {stage_name: DataFrame} of all checkpointed outputs."""
-    cat = CheckpointCatalog(spark, out_dir, cfg)
+                 refine: bool = False,
+                 backend: str = "parquet") -> dict:
+    """Returns {stage_name: DataFrame} of all checkpointed outputs.
+    ``backend="iceberg"`` checkpoints to DataSourceV2 tables in the
+    configured Spark catalog instead of parquet directories (see
+    checkpoint.py for the spark-submit --packages recipe)."""
+    cat = CheckpointCatalog(spark, out_dir, cfg, backend=backend)
     out: dict[str, DataFrame] = {}
     timings: dict[str, float] = {}
 
@@ -112,6 +116,11 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=DEFAULT.size)
     ap.add_argument("--seed", type=int, default=DEFAULT.seed)
     ap.add_argument("--no-extensions", action="store_true")
+    ap.add_argument("--backend", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="checkpoint storage: parquet dirs (default) or "
+                         "Iceberg tables (needs --packages iceberg-spark-"
+                         "runtime + spark.sql.catalog.* conf)")
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--refine", action="store_true",
                     help="per-component community refinement of "
@@ -143,7 +152,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     out = run_pipeline(spark, images, cfg, args.out,
                        extensions=not args.no_extensions,
-                       evaluate=args.evaluate, refine=args.refine)
+                       evaluate=args.evaluate, refine=args.refine,
+                       backend=args.backend)
     wall = time.time() - t0
     n = images.count()
     summary = {

@@ -72,7 +72,12 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
     bucket-contracted star-edge graph; each round ends in localCheckpoint()
     to truncate lineage. Docs in no multi-member bucket are singleton
     components (cc_id = own id); pass ``all_ids`` to include docs that
-    produced no bands at all (empty bags)."""
+    produced no bands at all (empty bags).
+
+    CALLER CONTRACT: ``bands`` is consumed TWICE (star_edges' census agg +
+    join). A checkpoint/parquet scan is fine as-is; a live lineage through
+    an expensive kernel (WMH mapInPandas) must be localCheckpoint()ed by
+    the caller first or the kernel executes twice."""
     edges = star_edges(bands).localCheckpoint()
     fwd = edges.select(F.col("image_id").alias("src"),
                        F.col("rep").alias("dst"))

@@ -44,7 +44,8 @@ from apollo_spark.synth import IMAGES_SCHEMA
 
 def apply_batch(spark: SparkSession, batch_df: DataFrame,
                 cfg: PipelineConfig, out_dir: str,
-                extensions: bool = True) -> str:
+                extensions: bool = True,
+                backend: str = "parquet") -> str:
     """Process one micro-batch (also the foreachBatch body — exposed for
     direct testing). Returns what happened: 'bootstrap' (first batch built
     the base run), 'append', 'skip_empty', or 'skip_replay' (delta already
@@ -61,7 +62,7 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
     batch = batch_df.localCheckpoint()
     if not batch.take(1):
         return "skip_empty"
-    cat = CheckpointCatalog(spark, out_dir, cfg)
+    cat = CheckpointCatalog(spark, out_dir, cfg, backend=backend)
     from apollo_spark.pipeline import run_pipeline
     delta_id, content_fp = delta_fingerprint(batch)
     if cat.delta_state(delta_id) == "committed":
@@ -80,7 +81,7 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
         # rebuild here (complete stages just load, so this is idempotent)
         if not cat.is_complete("clusters"):
             run_pipeline(spark, cat.load("images"), cfg, out_dir,
-                         extensions=extensions)
+                         extensions=extensions, backend=backend)
         return "skip_replay"
 
     if not cat.is_complete("vocab") or not cat.is_complete("bands"):
@@ -88,13 +89,15 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
         # then the overwrite-idempotent stage writes, then images + commit —
         # a crash anywhere inside surfaces as the pending refusal on replay
         cat.begin_delta(delta_id, content_fp)
-        run_pipeline(spark, batch, cfg, out_dir, extensions=extensions)
+        run_pipeline(spark, batch, cfg, out_dir, extensions=extensions,
+                     backend=backend)
         cat.write("images", batch)
         cat.commit_delta(delta_id)
         return "bootstrap"
 
     append_images(spark, None, batch, cfg, out_dir,
-                  extensions=extensions, append_images_stage=True)
+                  extensions=extensions, append_images_stage=True,
+                  backend=backend)
     return "append"
 
 
@@ -102,7 +105,8 @@ def ingest_stream(spark: SparkSession, source_dir: str, out_dir: str,
                   cfg: PipelineConfig, extensions: bool = True,
                   available_now: bool = True,
                   checkpoint_dir: str | None = None,
-                  max_files_per_trigger: int | None = None):
+                  max_files_per_trigger: int | None = None,
+                  backend: str = "parquet"):
     """Start the ingest query; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``source_dir``
@@ -118,7 +122,7 @@ def ingest_stream(spark: SparkSession, source_dir: str, out_dir: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(batch_df.sparkSession, batch_df, cfg, out_dir,
-                    extensions=extensions)
+                    extensions=extensions, backend=backend)
 
     writer = (stream.writeStream
               .foreachBatch(process)

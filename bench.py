@@ -79,6 +79,24 @@ def main() -> int:
                            extensions=True, evaluate=False)
         _force(res["clusters"])
         pipeline_sec = time.time() - t0
+
+        # Incremental append of a 5% delta onto the checkpointed run just
+        # built: the O(|delta|) contract made measurable (extension passes
+        # are delta-vs-corpus since r3 — an append should cost a small
+        # fraction of the full rebuild, not rescale with the corpus).
+        from pyspark.sql import functions as F
+
+        from apollo_spark.incremental import append_images
+        n_delta = max(PIPELINE_ROWS // 20, 100)
+        delta = (spark.read.parquet(
+            synth.cached_corpus_path(n_delta, seed=777)).drop("gt_cluster")
+            # distinct id space vs the base corpus (same generator)
+            .withColumn("image_id", F.concat(F.lit("d"), F.col("image_id"))))
+        full = images.unionByName(delta)
+        t0 = time.time()
+        res2 = append_images(spark, full, delta, PipelineConfig(), out_dir)
+        _force(res2["clusters"])
+        append_sec = time.time() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     timings["e2e_pipeline"] = round(pipeline_sec, 3)
@@ -94,6 +112,12 @@ def main() -> int:
         "sf": sf,
         "pipeline_rows": n,
         "pipeline_images_per_sec": round(n / pipeline_sec, 1),
+        # O(|delta|) evidence, reported OUTSIDE the headline total so the
+        # cross-round totals stay comparable: a 5% append onto the
+        # checkpointed run (frozen-vocab weighting + delta-vs-corpus
+        # candidate extension + global CC rebuild)
+        "incremental_append_rows": n_delta,
+        "incremental_append_sec": round(append_sec, 3),
         "cpus": CPUS,
     }
     prev = _load_prev_bench()

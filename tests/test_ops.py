@@ -489,3 +489,34 @@ class TestBucketPathParity:
                   for r in similarity.lsh_buckets_sql(
                       sub, nbits=6, ntables=16, seed=42).collect()}
         assert np_bk == sql_bk and len(np_bk) == 400 * 16
+
+
+class TestSimhashSkew:
+    def test_simhash_pairs_hot_block_equivalence(self, spark):
+        """60% of the corpus shares one simhash (identical text) — every
+        block value is hot. The salted join must still return exactly the
+        brute-force Hamming-ball result (salting is semantics-free) while
+        sharding the hot blocks (VERDICT r2 #1 skew test)."""
+        from pyspark.sql import functions as F
+        from apollo_spark.ops import dedup
+        rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(60)]
+        rows += [(100 + i, f"unique caption number {i} tokens "
+                  f"w{i} x{i} y{i} z{i} q{i}") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["a"], r["b"], r["hamming"])
+               for r in dedup.simhash_pairs(docs).collect()}
+        sig = dedup.simhash(docs)
+        brute = {(r["a"], r["b"], r["h"]) for r in
+                 sig.alias("x").join(
+                     sig.alias("y"),
+                     F.col("x.doc_id") < F.col("y.doc_id"))
+                 .select(F.col("x.doc_id").alias("a"),
+                         F.col("y.doc_id").alias("b"),
+                         F.bit_count(F.col("x.simhash")
+                                     .bitwiseXOR(F.col("y.simhash")))
+                         .cast("long").alias("h"))
+                 .filter("h <= 3").collect()}
+        assert got == brute
+        # the identical-text block really is hot: all 60C2 pairs present
+        assert len([p for p in got if p[0] < 60 and p[1] < 60]) == 1770

@@ -111,7 +111,10 @@ def main() -> int:
           or "explode" in p)]))
 
     # 6. ANN cosine near-dup: bucketed candidates, exact verify — the
-    # O(n^2)-row explosion of the exact path is gone
+    # O(n^2)-row explosion of the exact path is gone. Since r3 the
+    # bucketing is the NumPy-matmul mapInPandas path (bit-identical to the
+    # Catalyst fold path on the shared 6dp grid) and the candidate
+    # self-join is salted.
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ann = similarity.cosine_neardup_ann(emb, 0.40, dim=64)
     p = plan_of(ann)
@@ -119,8 +122,44 @@ def main() -> int:
         "cosine near-dup via hyperplane-LSH candidates + exact verify", p,
         [("bucket equi-join (no cartesian)", "CartesianProduct" not in p),
          ("join keyed on (tbl, bucket)", "bucket" in p and "tbl" in p),
-         ("JVM-side bucketing (no Python in candidate gen)",
-          "MapInPandas" not in p.split("Filter")[0])]))
+         ("salt in the candidate join key (hot-bucket skew)",
+          "__salt" in p),
+         ("Arrow-batched bucketing (mapInPandas matmul, no row UDF)",
+          ("MapInPandas" in p or "PythonMapInArrow" in p)
+          and "BatchEvalPython" not in p)]))
+
+    # 6b. IVF near-dup: the cell self-join is salted too (cells on
+    # clustered corpora are hot by construction)
+    ivf = similarity.cosine_neardup_ivf(emb, 0.40, n_centroids=8, nprobe=2)
+    p = plan_of(ivf)
+    sections.append((
+        "IVF cell candidates + exact verify (salted cell join)", p,
+        [("salt in the cell join key", "__salt" in p),
+         ("no cartesian product", "CartesianProduct" not in p)]))
+
+    # 6c. simhash block join (text twin): the round-2 skew gap — now the
+    # same salted device as the MinHash pair join
+    sh = dedup.simhash_pairs(docs)
+    p = plan_of(sh)
+    sections.append((
+        "simhash Hamming-ball block join (salted)", p,
+        [("salt in the block join key", "__salt" in p),
+         ("no cartesian product", "CartesianProduct" not in p)]))
+
+    # 6d. incremental delta pair-gen: corpus side is a two-column phash
+    # projection semi-joined to delta-touched buckets — no caption/bytes
+    # read, no full-corpus pair regeneration
+    from apollo_spark.stages import candidates as cand_stage
+    delta_imgs = images.filter(F.col("image_id") < "img0000000100")
+    dp = cand_stage.simhash_pairs_delta(delta_imgs, images, cfg)
+    p = plan_of(dp)
+    scans = [s.split("\n")[0] for s in p.split("ReadSchema: ")[1:]]
+    sections.append((
+        "delta-vs-corpus simhash pair generation (O(|delta|) append)", p,
+        [("semi-join on delta-touched buckets", "LeftSemi" in p),
+         ("corpus scan reads only (image_id, phash) — no caption/bytes",
+          all("caption" not in s and "bytes" not in s for s in scans)
+          if scans else False)]))
 
     # 7. vocabulary cap: histogram threshold — the only sort-limit is over
     # the tau tie band (filtered input), never the full feature table.
@@ -182,6 +221,7 @@ def main() -> int:
         lines.append("```")
         lines.append("")
     lines.append(_ROUND2_NOTES)
+    lines.append(_ROUND3_NOTES)
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print("PLANS.md written;", "ALL PASS" if ok_all else "SOME CHECKS FAILED")
@@ -221,6 +261,38 @@ was reverted; the functions keep an optional `shingles=` parameter for
 callers that already HAVE a materialized (checkpointed) table — reuse
 across *separate jobs* (the pipeline's bags checkpoint) is still the right
 call; reuse within *one plan* belongs to the optimizer.
+"""
+
+_ROUND3_NOTES = """\
+## Round-3 plan changes
+
+**1. One salting device, five joins.** The skew treatment the MinHash pair
+join had in round 2 (`ops/skew.py::salted_pairs`) now also shards the text
+SimHash block join, the phash SimHash block join, and the ANN/IVF candidate
+joins — every bucketed self-join in the engine carries `__salt` in its join
+key (sections above assert it). Semantics-free: all oracles unchanged.
+
+**2. ANN bucketing moved to the NumPy-matmul path without losing oracles.**
+`lsh_bucketed` now rounds projections on the same half-up 6dp grid as the
+Catalyst fold path (`lsh_buckets_sql`), making the two bit-identical
+(parity test in tests/test_ops.py). `cosine_neardup_ann` and `ann_topk`
+therefore run the cheap mapInPandas matmul — one BLAS call per Arrow batch
+instead of ntables*nbits per-row codegen dot folds (measured at sf0.01:
+cosine_neardup_ann 9.4 s -> 3.3 s) — while their plane-literal DuckDB
+oracles still hash-match.
+
+**3. CC callers cut expensive lineages once.** `connected_components`
+consumes its bands input twice (census agg + join). The flagship chain now
+`localCheckpoint()`s the WMH bands before CC so the kernel executes once;
+the pipeline path needs nothing (its input is a checkpoint scan). Same
+ReusedExchange lesson as round 2: the cut belongs at the *caller* where the
+input is a live kernel lineage, not inside the operator.
+
+**4. Incremental appends generate candidates delta-vs-corpus.** The delta
+pass semi-joins the corpus's two-column (image_id, phash) projection down
+to delta-touched buckets before any pair join (section above asserts the
+semi-join and the pruned ReadSchema), and substring fingerprints append
+per delta — no full-corpus re-extraction anywhere in the append path.
 """
 
 if __name__ == "__main__":
