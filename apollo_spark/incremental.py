@@ -20,15 +20,18 @@ Cassandra writes (bags.py:23, hasher.py:186-201), hashes-only resetdb
      only (candidates.simhash_pairs_delta), and substring fingerprints are
      extracted for the delta alone and appended to the checkpointed
      fingerprint table;
-  5. invalidate and recompute only the cheap global stages (the substring
-     bucket census over the compact fingerprint table, CC, clusters) — CC
-     warm-starts are unnecessary because the fixpoint's working set is
-     |dup edges|, not the corpus.
+  5. warm-start CC from the previous fixpoint (stages/cc.
+     incremental_components): a converged labeling is a spanning star of
+     each old component, so the fixpoint re-runs only over delta-touched
+     buckets plus the old components they collide with; clusters re-derive
+     from the merged labels, and only the genuinely cheap derived stages
+     (substring census, refinement, eval) rebuild.
 
 Cost per delta: O(|delta|) extraction+hashing + narrow corpus-side scans
 (two-column phash projection; compact fingerprint/bands tables for the
-census and CC input) — no per-row re-extraction of old images anywhere,
-vs O(|corpus|) extraction for a full rerun.
+census) + a fixpoint over the delta-affected subgraph — no per-row
+re-extraction of old images and no corpus-sized CC anywhere, vs
+O(|corpus|) for a full rerun.
 """
 
 from __future__ import annotations
@@ -42,9 +45,11 @@ from apollo_spark.stages import bags as bags_stage
 from apollo_spark.stages import candidates, hashst
 
 # stages rebuilt per delta (cheap, derived from checkpointed inputs);
-# simhash_pairs / substring_fp are NOT here — they are appended
-DERIVED_STAGES = ["substring_membership", "cc", "clusters",
-                  "clusters_refined", "cluster_eval"]
+# simhash_pairs / substring_fp are appended, cc / clusters are updated
+# INCREMENTALLY (warm-start fixpoint) unless the base run predates the
+# incremental layout
+DERIVED_STAGES = ["substring_membership", "clusters_refined",
+                  "cluster_eval"]
 
 
 def delta_fingerprint(new_images: DataFrame) -> tuple[str, str]:
@@ -102,27 +107,59 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     cat.append("bags", delta_bags)
     delta_sigs = hashst.signatures(delta_bags, cfg).localCheckpoint()
     cat.append("signatures", delta_sigs)
-    cat.append("bands", hashst.bands(delta_sigs, cfg),
-               partition_by=["hashtable"])
+    delta_bands = hashst.bands(delta_sigs, cfg)
+    cat.append("bands", delta_bands, partition_by=["hashtable"])
     if append_images_stage:
         cat.append("images", new_images)
     if all_images is None:
         all_images = cat.load("images")
-    if extensions:
+    new_pairs = delta_fp = None
+    if extensions and cat.is_complete("simhash_pairs") \
+            and cat.is_complete("substring_fp"):
         # O(|delta|) extension appends (module docstring step 4). A base
-        # run built with extensions=False has neither stage complete —
-        # run_pipeline below then builds them fully over the extended
-        # corpus (the correct fallback).
-        if cat.is_complete("simhash_pairs"):
-            cat.append("simhash_pairs", candidates.simhash_pairs_delta(
-                new_images, all_images, cfg))
-        if cat.is_complete("substring_fp"):
-            cat.append("substring_fp", candidates.substring_fingerprints(
-                new_images, cfg))
+        # run built with extensions=False (or pre-r3 layout) has the
+        # stages incomplete — run_pipeline below then builds them fully
+        # over the extended corpus (the correct fallback).
+        new_pairs = candidates.simhash_pairs_delta(
+            new_images, all_images, cfg).localCheckpoint()
+        cat.append("simhash_pairs", new_pairs)
+        delta_fp = candidates.substring_fingerprints(new_images, cfg) \
+            .localCheckpoint()
+        cat.append("substring_fp", delta_fp)
     cat.commit_delta(delta_id)
 
-    # global stages derive from the (now extended) bands — rebuild them
-    cat.reset([s for s in DERIVED_STAGES])
+    # incremental CC (stages/cc.incremental_components): warm-start from
+    # the previous fixpoint, iterating ONLY over delta-touched buckets and
+    # the old components they collide with — the corpus-sized fixpoint is
+    # gone from the append path. Falls back to a full rebuild when the
+    # base run predates the incremental layout.
+    from apollo_spark.stages import cc as cc_stage
+    can_inc_cc = cat.is_complete("cc") and (
+        not extensions or new_pairs is not None)
+    if can_inc_cc:
+        old_cc = cat.load("cc")
+        memb = cat.load("bands").join(
+            delta_bands.select("hashtable", "band").distinct(),
+            ["hashtable", "band"], "left_semi")
+        if extensions:
+            touched_gh = delta_fp.select("gh").distinct()
+            m2 = candidates.membership_from_fp(
+                cat.load("substring_fp").join(touched_gh, "gh",
+                                              "left_semi"), cfg)
+            memb = memb.unionByName(m2).unionByName(
+                candidates.pairs_as_membership(new_pairs))
+        new_cc = cc_stage.incremental_components(
+            old_cc, cc_stage.star_edges(memb),
+            new_images.select("image_id"), cfg)
+        # materialize BEFORE the overwrite: new_cc lazily reads the very
+        # cc table the write replaces (on Iceberg a snapshot write makes
+        # this a non-issue; on parquet the eager cut is required)
+        new_cc = new_cc.localCheckpoint()
+        cat.reset([s for s in DERIVED_STAGES])
+        cat.write("cc", new_cc)
+        cat.write("clusters", cc_stage.clusters(cat.load("cc")))
+    else:
+        cat.reset([s for s in DERIVED_STAGES] + ["cc", "clusters"])
     from apollo_spark.pipeline import run_pipeline
     return run_pipeline(spark, all_images, cfg, out_dir,
                         extensions=extensions, refine=refine,

@@ -75,18 +75,21 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     if extensions:
         # simhash_pairs and substring_fp are APPENDABLE stages: incremental
         # deltas extend them with delta-vs-corpus passes (incremental.py)
-        # instead of resetting — only the census/membership below (cheap,
-        # compact-table aggregation) rebuilds per delta
+        # instead of resetting. The census/membership below is only needed
+        # by a cc REBUILD or by refinement — when the incremental-CC path
+        # already wrote cc (and no refine is requested) it is skipped
+        # entirely, not rebuilt into the void.
         stage("simhash_pairs", lambda: candidates.simhash_pairs(images, cfg))
         stage("substring_fp",
               lambda: candidates.substring_fingerprints(images, cfg))
-        stage("substring_membership",
-              lambda: candidates.membership_from_fp(
-                  out["substring_fp"], cfg))
-        cc_input = (cc_input
-                    .unionByName(candidates.pairs_as_membership(
-                        out["simhash_pairs"]))
-                    .unionByName(out["substring_membership"]))
+        if refine or not cat.is_complete("cc"):
+            stage("substring_membership",
+                  lambda: candidates.membership_from_fp(
+                      out["substring_fp"], cfg))
+            cc_input = (cc_input
+                        .unionByName(candidates.pairs_as_membership(
+                            out["simhash_pairs"]))
+                        .unionByName(out["substring_membership"]))
 
     cc_in = cc_input
     stage("cc", lambda: cc_stage.connected_components(

@@ -62,23 +62,12 @@ def star_edges(bands: DataFrame) -> DataFrame:
             .distinct())
 
 
-def connected_components(bands: DataFrame, cfg: PipelineConfig,
-                         all_ids: DataFrame | None = None) -> DataFrame:
-    """-> cc(image_id string, cc_id string) for every banded doc.
-
-    cc_id = lexicographic min image_id of the component (stable, needs no
-    dense relabeling — the reference's uint32 remapping, graph.py:29-46, is
-    a Cassandra artifact we drop). Min-label propagation over the
-    bucket-contracted star-edge graph; each round ends in localCheckpoint()
-    to truncate lineage. Docs in no multi-member bucket are singleton
-    components (cc_id = own id); pass ``all_ids`` to include docs that
-    produced no bands at all (empty bags).
-
-    CALLER CONTRACT: ``bands`` is consumed TWICE (star_edges' census agg +
-    join). A checkpoint/parquet scan is fine as-is; a live lineage through
-    an expensive kernel (WMH mapInPandas) must be localCheckpoint()ed by
-    the caller first or the kernel executes twice."""
-    edges = star_edges(bands).localCheckpoint()
+def label_fixpoint(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation with per-round path halving over an
+    (image_id, rep) edge list -> cc(image_id, cc_id) for every endpoint.
+    The shared core of the full and incremental CC paths. ``edges`` must
+    already be materialized (localCheckpoint/parquet) — each round joins
+    it and a lazy lineage would re-run per round."""
     fwd = edges.select(F.col("image_id").alias("src"),
                        F.col("rep").alias("dst"))
     sym = fwd.unionByName(
@@ -89,7 +78,7 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
               .withColumn("label", F.col("image_id"))
               .localCheckpoint())
     changed = 0
-    for _ in range(cfg.max_cc_iterations):
+    for _ in range(max_iter):
         prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
                 .groupBy(F.col("dst").alias("image_id"))
                 .agg(F.min("label").alias("nlabel")))
@@ -119,16 +108,83 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
         if changed == 0:
             break
     if changed:
-        # a component deeper than max_cc_iterations would silently come back
-        # split into several cc_ids — downstream recall gating would misread
-        # the split as genuine clusters (ADVICE r1), so surface it loudly
+        # a component deeper than max_iter would silently come back split
+        # into several cc_ids — downstream recall gating would misread the
+        # split as genuine clusters (ADVICE r1), so surface it loudly
         import warnings
         warnings.warn(
-            f"connected_components hit max_cc_iterations="
-            f"{cfg.max_cc_iterations} with {changed} labels still moving — "
-            f"components deeper than the cap are split; raise "
-            f"max_cc_iterations", RuntimeWarning, stacklevel=2)
-    cc = labels.withColumnRenamed("label", "cc_id")
+            f"label_fixpoint hit max_iter={max_iter} with {changed} labels "
+            f"still moving — components deeper than the cap are split; "
+            f"raise max_cc_iterations", RuntimeWarning, stacklevel=2)
+    return labels.withColumnRenamed("label", "cc_id")
+
+
+def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
+                           new_ids: DataFrame, cfg: PipelineConfig
+                           ) -> DataFrame:
+    """Warm-start CC for an incremental append: merge ``new_edges`` (star
+    edges from delta-touched buckets + delta pair edges) into a CORRECT
+    previous fixpoint ``old_cc`` without re-running CC over the corpus.
+
+    The device: a converged labeling IS a spanning star of each old
+    component (every member points at its cc_id, itself a member), so the
+    union graph (old graph + new edges) is connectivity-equivalent to
+    (old-label star edges + new edges). Restricting further to AFFECTED
+    components — those containing an endpoint of a new edge — leaves the
+    untouched corpus out of the fixpoint entirely:
+
+      affected  = old components incident to new_edges
+      fixpoint over: new_edges  UNION  (star edges of affected components)
+      result    = unaffected old labels  UNION  fixpoint labels
+                  UNION singletons for delta ids in no multi bucket
+
+    Exactness: identical to a full rebuild's partition (the fixpoint's
+    min-label = global min image_id of the merged component, which is also
+    what the full rebuild emits), proven by the append==rebuild parity
+    test. Cost per delta: O(|new_edges| + |affected components|) — the
+    corpus-sized fixpoint is gone from the append path.
+    """
+    new_edges = new_edges.localCheckpoint()
+    endpoints = (new_edges.select("image_id")
+                 .unionByName(new_edges.select(F.col("rep")
+                                               .alias("image_id")))
+                 .distinct())
+    affected = (old_cc.join(endpoints, "image_id", "left_semi")
+                .select("cc_id").distinct())
+    aff_nodes = old_cc.join(affected, "cc_id", "left_semi")
+    star_old = (aff_nodes.filter(F.col("image_id") != F.col("cc_id"))
+                .select("image_id", F.col("cc_id").alias("rep")))
+    # materialize the merged edge list ONCE — the fixpoint joins it every
+    # round and must not re-derive star_old from the old cc table per round
+    edges = (new_edges.unionByName(star_old).distinct()
+             .localCheckpoint())
+    labels = label_fixpoint(edges, cfg.max_cc_iterations)
+    unaffected = old_cc.join(affected, "cc_id", "left_anti")
+    singles = (new_ids.select("image_id")
+               .join(labels.select("image_id"), "image_id", "left_anti")
+               .join(unaffected.select("image_id"), "image_id", "left_anti")
+               .withColumn("cc_id", F.col("image_id")))
+    return unaffected.unionByName(labels).unionByName(singles)
+
+
+def connected_components(bands: DataFrame, cfg: PipelineConfig,
+                         all_ids: DataFrame | None = None) -> DataFrame:
+    """-> cc(image_id string, cc_id string) for every banded doc.
+
+    cc_id = lexicographic min image_id of the component (stable, needs no
+    dense relabeling — the reference's uint32 remapping, graph.py:29-46, is
+    a Cassandra artifact we drop). Min-label propagation over the
+    bucket-contracted star-edge graph; each round ends in localCheckpoint()
+    to truncate lineage. Docs in no multi-member bucket are singleton
+    components (cc_id = own id); pass ``all_ids`` to include docs that
+    produced no bands at all (empty bags).
+
+    CALLER CONTRACT: ``bands`` is consumed TWICE (star_edges' census agg +
+    join). A checkpoint/parquet scan is fine as-is; a live lineage through
+    an expensive kernel (WMH mapInPandas) must be localCheckpoint()ed by
+    the caller first or the kernel executes twice."""
+    edges = star_edges(bands).localCheckpoint()
+    cc = label_fixpoint(edges, cfg.max_cc_iterations)
     if all_ids is not None:
         singletons = (all_ids.select("image_id")
                       .join(cc.select("image_id"), "image_id", "left_anti")

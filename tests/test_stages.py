@@ -535,8 +535,17 @@ class TestIncrementalExtensions:
         run_pipeline(spark, full, cfg, full_dir)
         inc_cat = CheckpointCatalog(spark, inc_dir, cfg)
         full_cat = CheckpointCatalog(spark, full_dir, cfg)
-        for stg in ("substring_fp", "substring_membership"):
-            a, b = inc_cat.load(stg), full_cat.load(stg)
+        # substring_membership is built on demand since the incremental-CC
+        # change (nothing consumes it on a refine-less append), so compare
+        # the census computed from each checkpointed fingerprint table
+        for stg, derive in (("substring_fp", None),
+                            ("substring_membership",
+                             lambda fp: cand_mod.membership_from_fp(fp,
+                                                                    cfg))):
+            a, b = inc_cat.load("substring_fp"), full_cat.load(
+                "substring_fp")
+            if derive is not None:
+                a, b = derive(a), derive(b)
             assert a.exceptAll(b).count() == 0, f"{stg}: inc-only rows"
             assert b.exceptAll(a).count() == 0, f"{stg}: rebuild-only rows"
         inc_pairs = {(r["a"], r["b"])
@@ -587,3 +596,25 @@ class TestConfigChangeInvalidation:
         # manifest is keyed by one fingerprint, not a union)
         assert not CheckpointCatalog(spark, out, cfg).is_complete(
             "signatures")
+
+
+class TestIncrementalCC:
+    def test_warm_start_merge_semantics(self, spark, cfg):
+        """incremental_components: old components merge through new edges
+        (label = global min of the merged set, as a full rebuild emits),
+        unaffected components and singletons pass through untouched, and
+        unmatched delta ids become singletons."""
+        old = [("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+               ("b1", "b1"), ("b2", "b1"), ("c1", "c1"), ("d1", "d1")]
+        old_cc = spark.createDataFrame(old, "image_id string, cc_id string")
+        new_edges = spark.createDataFrame(
+            [("a3", "b2"), ("n1", "c1")], "image_id string, rep string")
+        new_ids = spark.createDataFrame([("n1",), ("n2",)],
+                                        "image_id string")
+        out = cc_st.incremental_components(old_cc, new_edges, new_ids, cfg)
+        cc = {r["image_id"]: r["cc_id"] for r in out.collect()}
+        assert cc == {"a1": "a1", "a2": "a1", "a3": "a1",
+                      "b1": "a1", "b2": "a1",
+                      "c1": "c1", "n1": "c1",
+                      "d1": "d1", "n2": "n2"}
+        assert out.count() == 9  # complete and disjoint
