@@ -502,12 +502,16 @@ class TestIncrementalExtensions:
         from apollo_spark.stages import candidates as cand_mod
         pdf = synth.gen_corpus(240, seed=17)
         gt = pdf["gt_cluster"].to_numpy()
-        k = next(i for i in range(150, 230) if gt[i - 1] == gt[i])
-        base = spark.createDataFrame(pdf.iloc[:k].drop(columns=["gt_cluster"]))
-        delta = spark.createDataFrame(
-            pdf.iloc[k:].drop(columns=["gt_cluster"]))
-        full = base.unionByName(delta)
-        n_delta = 240 - k
+        k1 = next(i for i in range(120, 180) if gt[i - 1] == gt[i])
+        k2 = next(i for i in range(k1 + 30, 230) if gt[i - 1] == gt[i])
+        base = spark.createDataFrame(
+            pdf.iloc[:k1].drop(columns=["gt_cluster"]))
+        d1 = spark.createDataFrame(
+            pdf.iloc[k1:k2].drop(columns=["gt_cluster"]))
+        d2 = spark.createDataFrame(
+            pdf.iloc[k2:].drop(columns=["gt_cluster"]))
+        mid = base.unionByName(d1)
+        full = mid.unionByName(d2)
         inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
         run_pipeline(spark, base, cfg, inc_dir)
 
@@ -525,11 +529,14 @@ class TestIncrementalExtensions:
 
         monkeypatch.setattr(cand_mod, "substring_fingerprints", spy_fp)
         monkeypatch.setattr(cand_mod, "simhash_pairs", spy_sp)
-        res = append_images(spark, full, delta, cfg, inc_dir)
+        # TWO successive appends: the incremental CC warm-starts from its
+        # own previous output the second time (the induction step)
+        append_images(spark, mid, d1, cfg, inc_dir)
+        res = append_images(spark, full, d2, cfg, inc_dir)
         monkeypatch.undo()
-        # substring extraction ran over the DELTA only; the full-corpus
+        # substring extraction ran over each DELTA only; the full-corpus
         # builders never re-ran (the old shape reset + re-extracted 240)
-        assert fp_calls == [n_delta]
+        assert fp_calls == [k2 - k1, 240 - k2]
         assert full_builder_calls == []
 
         run_pipeline(spark, full, cfg, full_dir)
@@ -618,3 +625,17 @@ class TestIncrementalCC:
                       "c1": "c1", "n1": "c1",
                       "d1": "d1", "n2": "n2"}
         assert out.count() == 9  # complete and disjoint
+
+    def test_empty_delta_edge_set(self, spark, cfg):
+        """A delta colliding with nothing: no new edges — old labels pass
+        through untouched and every delta id becomes a singleton."""
+        old_cc = spark.createDataFrame(
+            [("a1", "a1"), ("a2", "a1"), ("z9", "z9")],
+            "image_id string, cc_id string")
+        no_edges = spark.createDataFrame([], "image_id string, rep string")
+        new_ids = spark.createDataFrame([("n1",), ("n2",)],
+                                        "image_id string")
+        out = cc_st.incremental_components(old_cc, no_edges, new_ids, cfg)
+        cc = {r["image_id"]: r["cc_id"] for r in out.collect()}
+        assert cc == {"a1": "a1", "a2": "a1", "z9": "z9",
+                      "n1": "n1", "n2": "n2"}
