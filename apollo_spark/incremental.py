@@ -126,13 +126,20 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
         delta_fp = candidates.substring_fingerprints(new_images, cfg) \
             .localCheckpoint()
         cat.append("substring_fp", delta_fp)
-    cat.commit_delta(delta_id)
 
     # incremental CC (stages/cc.incremental_components): warm-start from
     # the previous fixpoint, iterating ONLY over delta-touched buckets and
     # the old components they collide with — the corpus-sized fixpoint is
     # gone from the append path. Falls back to a full rebuild when the
     # base run predates the incremental layout.
+    #
+    # CRASH-WINDOW ORDERING: the derived-stage invalidation AND the
+    # incremental cc/clusters writes happen INSIDE the pending window,
+    # with commit_delta LAST. A crash anywhere in between leaves the delta
+    # pending, so the replay hits the loud refusal instead of finding
+    # STALE-but-complete clusters and silently skipping (the old ordering
+    # committed first — a crash before the reset left old clusters marked
+    # complete over a corpus that already contained the delta's rows).
     from apollo_spark.stages import cc as cc_stage
     can_inc_cc = cat.is_complete("cc") and (
         not extensions or new_pairs is not None)
@@ -160,6 +167,7 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
         cat.write("clusters", cc_stage.clusters(cat.load("cc")))
     else:
         cat.reset([s for s in DERIVED_STAGES] + ["cc", "clusters"])
+    cat.commit_delta(delta_id)
     from apollo_spark.pipeline import run_pipeline
     return run_pipeline(spark, all_images, cfg, out_dir,
                         extensions=extensions, refine=refine,

@@ -177,3 +177,28 @@ class TestCrashWindows:
         apply_batch(spark, batch, cfg, out)
         with pytest.warns(RuntimeWarning, match="crash-replayed"):
             assert apply_batch(spark, batch, cfg, out) == "skip_replay"
+
+    def test_append_crash_before_derived_update_refuses_replay(
+            self, spark, cfg, tmp_path, monkeypatch):
+        """Crash AFTER the stage appends but BEFORE the cc/clusters update:
+        the delta must still be pending (commit is last), so the replay is
+        refused loudly instead of skip_replay-ing against STALE clusters
+        that never saw the delta's rows."""
+        import apollo_spark.stages.cc as ccs
+        pdf = synth.gen_corpus(120, seed=34)
+        half = spark.createDataFrame(
+            pdf.iloc[:60].drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(
+            pdf.iloc[60:].drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        assert apply_batch(spark, half, cfg, out) == "bootstrap"
+
+        def crash(*a, **kw):
+            raise RuntimeError("simulated crash before derived update")
+
+        monkeypatch.setattr(ccs, "incremental_components", crash)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(spark, delta, cfg, out)
+        monkeypatch.undo()
+        with pytest.raises(ValueError, match="pending"):
+            apply_batch(spark, delta, cfg, out)
