@@ -141,8 +141,19 @@ def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
     Exactness: identical to a full rebuild's partition (the fixpoint's
     min-label = global min image_id of the merged component, which is also
     what the full rebuild emits), proven by the append==rebuild parity
-    test. Cost per delta: O(|new_edges| + |affected components|) — the
-    corpus-sized fixpoint is gone from the append path.
+    test. COMPUTE per delta: O(|new_edges| + |affected components|) — the
+    corpus-sized fixpoint is gone from the append path; ``affected`` is
+    tiny, so AQE broadcasts it and the old_cc semi/anti joins are plain
+    scans, no shuffle.
+
+    Honest IO note: the caller still rewrites the cc TABLE per delta,
+    which is O(corpus) output IO even though only affected rows changed.
+    At checkpoint-table scale that is the remaining append cost; the
+    remedies are storage-level, not algorithmic — an Iceberg MERGE INTO
+    over the affected rows, or a cc table hash-partitioned on cc_id with
+    dynamic partition overwrite of the touched partitions (old labels'
+    partitions ∪ new labels' partitions, stale rows removed with the
+    rewrite). The parquet backend keeps the simple full rewrite.
     """
     new_edges = new_edges.localCheckpoint()
     endpoints = (new_edges.select("image_id")
