@@ -187,6 +187,49 @@ class CheckpointCatalog:
         self._save_manifest(m)
         return self.load(stage)
 
+    def overwrite_partitions(self, stage: str, df: DataFrame,
+                             partition_by: list[str],
+                             info: dict | None = None) -> DataFrame:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leaving all other partitions' files untouched — the
+        O(affected) IO path for incremental cc updates (stages/cc.
+        incremental_components). Parquet uses
+        spark.sql.sources.partitionOverwriteMode=dynamic; Iceberg uses the
+        native DataFrameWriterV2.overwritePartitions(). CALLER CONTRACT:
+        ``df`` must be materialized (localCheckpoint) if it reads from the
+        same stage table, and must contain the FULL intended content of
+        every partition it touches."""
+        t0 = time.time()
+        if self.backend == "iceberg":
+            df.writeTo(self._table(stage)).overwritePartitions()
+            self._record_metrics(stage, time.time() - t0, files=[])
+        else:
+            before = set(self._stage_files(stage))
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                df.write.mode("overwrite").partitionBy(*partition_by) \
+                    .parquet(self.path(stage))
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+            new_files = [f for f in self._stage_files(stage)
+                         if f not in before]
+            self._record_metrics(stage, time.time() - t0, files=new_files)
+        m = self._manifest()
+        entry = m["stages"].setdefault(stage, {"path": self.path(stage)})
+        entry["ts"] = time.time()
+        entry["partition_overwrites"] = int(
+            entry.get("partition_overwrites", 0)) + 1
+        if self.backend == "iceberg":
+            entry["snapshot_id"] = self._current_snapshot(stage)
+        if info:
+            entry.update(info)
+        self._save_manifest(m)
+        return self.load(stage)
+
     def stage_info(self, stage: str) -> dict:
         return dict(self._manifest()["stages"].get(stage) or {})
 

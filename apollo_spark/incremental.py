@@ -144,7 +144,7 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     can_inc_cc = cat.is_complete("cc") and (
         not extensions or new_pairs is not None)
     if can_inc_cc:
-        old_cc = cat.load("cc")
+        old_cc = cat.load("cc").select("image_id", "cc_id")
         memb = cat.load("bands").join(
             delta_bands.select("hashtable", "band").distinct(),
             ["hashtable", "band"], "left_semi")
@@ -155,16 +155,51 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
                                               "left_semi"), cfg)
             memb = memb.unionByName(m2).unionByName(
                 candidates.pairs_as_membership(new_pairs))
-        new_cc = cc_stage.incremental_components(
-            old_cc, cc_stage.star_edges(memb),
-            new_images.select("image_id"), cfg)
-        # materialize BEFORE the overwrite: new_cc lazily reads the very
-        # cc table the write replaces (on Iceberg a snapshot write makes
-        # this a non-issue; on parquet the eager cut is required)
-        new_cc = new_cc.localCheckpoint()
+        affected, relabeled, singles = \
+            cc_stage.incremental_components_parts(
+                old_cc, cc_stage.star_edges(memb),
+                new_images.select("image_id"), cfg)
         cat.reset([s for s in DERIVED_STAGES])
-        cat.write("cc", new_cc)
-        cat.write("clusters", cc_stage.clusters(cat.load("cc")))
+        if cat.stage_info("cc").get("cc_layout") == cc_stage.CC_LAYOUT:
+            # O(affected + |delta|) IO, two writes:
+            #  1. dynamic-overwrite ONLY the partitions holding relabeled
+            #     rows or stale affected rows (content = unaffected
+            #     survivors of those partitions + the relabels) — small,
+            #     because only delta-COLLIDING components relabel;
+            #  2. plain APPEND of the delta singletons — brand-new keys
+            #     superseding nothing, landing as new files without
+            #     rewriting any existing partition.
+            # Inputs reading the table under overwrite are materialized
+            # first (localCheckpoint).
+            affected = affected.localCheckpoint()
+            relabeled = cc_stage.with_cc_partition(relabeled, cfg) \
+                .localCheckpoint()
+            # singles' anti-join reads the pre-overwrite table — cut now
+            singles = cc_stage.with_cc_partition(singles, cfg) \
+                .localCheckpoint()
+            touched = {r["p"] for r in relabeled.select("p")
+                       .distinct().collect()}
+            touched |= {r["p"] for r in cc_stage.with_cc_partition(
+                affected, cfg).select("p").distinct().collect()}
+            if touched:
+                survivors = (cat.load("cc")
+                             .filter(F.col("p").isin(sorted(touched)))
+                             .join(affected, "cc_id", "left_anti")
+                             .localCheckpoint())
+                cat.overwrite_partitions(
+                    "cc", survivors.unionByName(relabeled), ["p"],
+                    info={"cc_layout": cc_stage.CC_LAYOUT})
+            cat.append("cc", singles, partition_by=["p"])
+        else:
+            # pre-partitioned-layout checkpoint: full rewrite fallback
+            unaffected = old_cc.join(affected, "cc_id", "left_anti")
+            new_cc = cc_stage.with_cc_partition(
+                unaffected.unionByName(relabeled).unionByName(singles),
+                cfg).localCheckpoint()
+            cat.write("cc", new_cc, partition_by=["p"],
+                      info={"cc_layout": cc_stage.CC_LAYOUT})
+        cat.write("clusters", cc_stage.clusters(
+            cat.load("cc").select("image_id", "cc_id")))
     else:
         cat.reset([s for s in DERIVED_STAGES] + ["cc", "clusters"])
     cat.commit_delta(delta_id)

@@ -92,8 +92,12 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
                         .unionByName(out["substring_membership"]))
 
     cc_in = cc_input
-    stage("cc", lambda: cc_stage.connected_components(
-        cc_in, cfg, all_ids=images))
+    # cc checkpoints hash-partitioned on the component id (CC_LAYOUT):
+    # incremental appends then dynamic-overwrite only delta-touched
+    # partitions instead of rewriting the corpus-sized table
+    stage("cc", lambda: cc_stage.with_cc_partition(
+        cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg),
+        partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
     stage("clusters", lambda: cc_stage.clusters(out["cc"]))
     if refine:
         from apollo_spark.stages import refine as refine_stage

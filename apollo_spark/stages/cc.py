@@ -155,6 +155,30 @@ def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
     partitions ∪ new labels' partitions, stale rows removed with the
     rewrite). The parquet backend keeps the simple full rewrite.
     """
+    affected, relabeled, singles = incremental_components_parts(
+        old_cc, new_edges, new_ids, cfg)
+    unaffected = old_cc.join(affected, "cc_id", "left_anti")
+    return unaffected.unionByName(relabeled).unionByName(singles)
+
+
+def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
+                                 new_ids: DataFrame, cfg: PipelineConfig
+                                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The warm-start core, returning the pieces separately so the caller
+    can choose the write strategy per piece:
+
+      (affected old cc_ids, relabeled rows, singleton rows)
+
+    ``relabeled`` = members of affected components with their merged
+    labels — SMALL (only components the delta actually collides with) and
+    the only rows superseding existing table content, so a partitioned
+    table dynamic-overwrites just their partitions. ``singles`` = delta
+    ids in no multi bucket — brand-new keys superseding nothing, so they
+    APPEND as new files without touching any existing partition (they
+    hash-scatter by own id; overwriting their partitions would rewrite the
+    whole table and defeat the point). Everything else is byte-identical
+    to old_cc. incremental_components() composes the full table for flat
+    layouts."""
     new_edges = new_edges.localCheckpoint()
     endpoints = (new_edges.select("image_id")
                  .unionByName(new_edges.select(F.col("rep")
@@ -170,12 +194,11 @@ def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
     edges = (new_edges.unionByName(star_old).distinct()
              .localCheckpoint())
     labels = label_fixpoint(edges, cfg.max_cc_iterations)
-    unaffected = old_cc.join(affected, "cc_id", "left_anti")
     singles = (new_ids.select("image_id")
                .join(labels.select("image_id"), "image_id", "left_anti")
-               .join(unaffected.select("image_id"), "image_id", "left_anti")
+               .join(old_cc.select("image_id"), "image_id", "left_anti")
                .withColumn("cc_id", F.col("image_id")))
-    return unaffected.unionByName(labels).unionByName(singles)
+    return affected, labels, singles
 
 
 def connected_components(bands: DataFrame, cfg: PipelineConfig,
@@ -202,6 +225,20 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
                       .withColumn("cc_id", F.col("image_id")))
         cc = cc.unionByName(singletons)
     return cc
+
+
+CC_LAYOUT = "p-hash-v1"   # manifest marker for the partitioned cc layout
+
+
+def with_cc_partition(cc: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Attach the cc checkpoint's partition column:
+    p = pmod(xxhash64(cc_id), cfg.cc_table_partitions). Hash-partitioning
+    on the COMPONENT id means an incremental append touches only the
+    partitions of the affected components' old and new labels — the
+    dynamic-overwrite append path (checkpoint.overwrite_partitions)."""
+    return cc.withColumn(
+        "p", F.pmod(F.xxhash64("cc_id"),
+                    F.lit(cfg.cc_table_partitions)).cast("int"))
 
 
 def component_sizes(cc: DataFrame) -> DataFrame:

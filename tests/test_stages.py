@@ -639,3 +639,70 @@ class TestIncrementalCC:
         cc = {r["image_id"]: r["cc_id"] for r in out.collect()}
         assert cc == {"a1": "a1", "a2": "a1", "z9": "z9",
                       "n1": "n1", "n2": "n2"}
+
+    def test_partitioned_append_touches_only_affected_partitions(
+            self, spark, cfg, tmp_path):
+        """The cc checkpoint is hash-partitioned on cc_id; an incremental
+        append must dynamic-overwrite ONLY the partitions holding changed
+        rows — every other partition's files stay byte-identical on disk
+        (the O(affected) IO contract of checkpoint.overwrite_partitions)."""
+        import glob
+        import os
+        from apollo_spark import synth
+        from apollo_spark.checkpoint import CheckpointCatalog
+        from apollo_spark.incremental import append_images
+        from apollo_spark.pipeline import run_pipeline
+        from pyspark.sql import functions as SF
+        small_cfg = cfg.with_(cc_table_partitions=8)
+        base_pdf = synth.gen_corpus(150, seed=19)
+        base = spark.createDataFrame(
+            base_pdf.drop(columns=["gt_cluster"]))
+        # a dup-SPARSE delta (the realistic web-delta shape): fresh
+        # content from another seed (collides with nothing) plus exactly
+        # two exact copies of base images — so only ~2 components relabel
+        fresh = spark.createDataFrame(
+            synth.gen_corpus(60, seed=777).drop(columns=["gt_cluster"])) \
+            .withColumn("image_id", SF.concat(SF.lit("d"),
+                                              SF.col("image_id")))
+        dups = base.limit(2).withColumn(
+            "image_id", SF.concat(SF.lit("dup"), SF.col("image_id")))
+        delta = fresh.unionByName(dups)
+        out = str(tmp_path / "run")
+        run_pipeline(spark, base, small_cfg, out)
+        cat = CheckpointCatalog(spark, out, small_cfg)
+        assert cat.stage_info("cc")["cc_layout"] == "p-hash-v1"
+
+        def snapshot():
+            return {f: os.path.getmtime(f) for f in glob.glob(
+                os.path.join(out, "cc", "p=*", "*.parquet"))}
+
+        before = snapshot()
+        assert len({os.path.dirname(f) for f in before}) == 8
+        res = append_images(spark, base.unionByName(delta), delta,
+                            small_cfg, out)
+        after = snapshot()
+        # pre-existing files may only disappear/change inside the
+        # overwrite-touched partitions (the relabeled components' old/new
+        # label partitions); singleton rows land as brand-NEW files
+        destroyed = {f for f in before
+                     if f not in after or after[f] != before[f]}
+        preserved = set(before) - destroyed
+        touched_dirs = {os.path.dirname(f) for f in destroyed}
+        # relabels happened (cross-boundary planted dups) but confined to
+        # a strict subset of partitions; most pre-existing bytes survived
+        assert destroyed and len(touched_dirs) < 8, (
+            len(destroyed), sorted(touched_dirs))
+        assert preserved, "append rewrote every pre-existing file"
+        new_files = set(after) - set(before)
+        assert new_files, "no appended singleton/overwrite files"
+        # content is still the complete corpus, every id exactly once,
+        # and the two exact copies really merged into their sources
+        cc = cat.load("cc")
+        assert cc.count() == 212
+        assert cc.select("image_id").distinct().count() == 212
+        by_id = {r["image_id"]: r["cc_id"]
+                 for r in cc.select("image_id", "cc_id").collect()}
+        for r in dups.select("image_id").collect():
+            src = r["image_id"][len("dup"):]
+            assert by_id[r["image_id"]] == by_id[src]
+        assert res["cc"].count() == 212

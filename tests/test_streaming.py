@@ -196,7 +196,7 @@ class TestCrashWindows:
         def crash(*a, **kw):
             raise RuntimeError("simulated crash before derived update")
 
-        monkeypatch.setattr(ccs, "incremental_components", crash)
+        monkeypatch.setattr(ccs, "incremental_components_parts", crash)
         with pytest.raises(RuntimeError, match="simulated crash"):
             apply_batch(spark, delta, cfg, out)
         monkeypatch.undo()
