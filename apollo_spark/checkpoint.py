@@ -205,16 +205,14 @@ class CheckpointCatalog:
             self._record_metrics(stage, time.time() - t0, files=[])
         else:
             before = set(self._stage_files(stage))
-            prev = self.spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                df.write.mode("overwrite").partitionBy(*partition_by) \
-                    .parquet(self.path(stage))
-            finally:
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
+            # per-WRITE dynamic mode (ADVICE r3): scoping the option to
+            # this writer instead of mutating the session conf means a
+            # concurrent overwrite in the same SparkSession (streaming
+            # foreachBatch alongside another job) cannot silently pick up
+            # dynamic semantics from our window
+            df.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy(*partition_by).parquet(self.path(stage))
             new_files = [f for f in self._stage_files(stage)
                          if f not in before]
             self._record_metrics(stage, time.time() - t0, files=new_files)
@@ -229,6 +227,30 @@ class CheckpointCatalog:
             entry.update(info)
         self._save_manifest(m)
         return self.load(stage)
+
+    def clear_partitions(self, stage: str, col: str,
+                         values: list) -> None:
+        """Explicitly EMPTY the given partitions of a partitioned stage
+        table. Dynamic partition overwrite replaces only partitions that
+        appear in the written df — it cannot clear a partition to zero
+        rows (ADVICE r3 high: if every row of a touched partition was
+        relabeled into other partitions and no survivor remains, the stale
+        files would survive the overwrite and affected members would exist
+        TWICE in the table). Callers diff intended-touched against
+        actually-present partition values and clear the difference inside
+        the delta's pending window. Parquet: delete the hive dirs;
+        Iceberg: a metadata-only DELETE on the partition predicate."""
+        if not values:
+            return
+        if self.backend == "iceberg":
+            vals = ", ".join(repr(v) for v in values)
+            self.spark.sql(f"DELETE FROM {self._table(stage)} "
+                           f"WHERE {col} IN ({vals})")
+            return
+        import shutil
+        for v in values:
+            shutil.rmtree(os.path.join(self.path(stage), f"{col}={v}"),
+                          ignore_errors=True)
 
     def stage_info(self, stage: str) -> dict:
         return dict(self._manifest()["stages"].get(stage) or {})
@@ -267,19 +289,36 @@ class CheckpointCatalog:
             return {"state": raw, "content": None}
         return dict(raw or {})
 
-    def begin_delta(self, delta_id: str, content_fp: str | None = None) -> None:
+    def begin_delta(self, delta_id: str, content_fp: str | None = None,
+                    retry_pending: bool = False,
+                    kind: str = "append") -> None:
         """Mark an incremental delta as in-flight. Refuses a delta that was
         already committed (duplicate invocation would double-append rows and
         silently inflate weighted-Jaccard/eval sums — ADVICE r1) and one that
         is still pending (a crash mid-append left partially-applied stage
         files; parquet appends cannot roll back, so the derived stages must
         be reset and the delta retried under a fresh id, or the run rebuilt).
-        ``content_fp`` (payload hash, incremental.delta_fingerprint) is stored
-        so a later re-drop of the same ids with changed content is reported
-        as such. On Iceberg the same contract is a MERGE on the delta id."""
+        ``retry_pending=True`` re-arms a pending delta instead — ONLY valid
+        when every write the delta performs is overwrite-idempotent (the
+        streaming bootstrap path: run_pipeline stage overwrites + the images
+        overwrite; ADVICE r3: without it a transient bootstrap failure
+        permanently bricked the stream even though a replay is safe by
+        construction). ``content_fp`` (payload hash, incremental.
+        delta_fingerprint) is stored so a later re-drop of the same ids with
+        changed content is reported as such. On Iceberg the same contract is
+        a MERGE on the delta id."""
         m = self._manifest()
         deltas = m.setdefault("deltas", {})
         entry = self._delta_entry(deltas.get(delta_id))
+        if entry.get("state") == "pending" and retry_pending \
+                and entry.get("kind") == "bootstrap" == kind:
+            # only a bootstrap may retry its own pending delta: every write
+            # on that path is an overwrite; a pending APPEND delta (or a
+            # pre-kind manifest entry) keeps the loud refusal below
+            deltas[delta_id] = {"state": "pending", "content": content_fp,
+                                "kind": kind}
+            self._save_manifest(m)
+            return
         if entry.get("state") == "committed":
             stored = entry.get("content")
             detail = (" with DIFFERENT content (changed-payload re-drop)"
@@ -292,8 +331,15 @@ class CheckpointCatalog:
             raise ValueError(
                 f"delta {delta_id} is pending from a crashed append — "
                 f"stage tables may hold a partial delta; reset and re-run")
-        deltas[delta_id] = {"state": "pending", "content": content_fp}
+        deltas[delta_id] = {"state": "pending", "content": content_fp,
+                            "kind": kind}
         self._save_manifest(m)
+
+    def delta_kind(self, delta_id: str) -> str | None:
+        """'bootstrap' | 'append' | None — what path began this delta
+        (None for pre-r4 manifests, treated as append = non-retryable)."""
+        return self._delta_entry(
+            self._manifest().get("deltas", {}).get(delta_id)).get("kind")
 
     def commit_delta(self, delta_id: str) -> None:
         m = self._manifest()

@@ -53,22 +53,76 @@ DERIVED_STAGES = ["substring_membership", "clusters_refined",
 
 
 def delta_fingerprint(new_images: DataFrame) -> tuple[str, str]:
-    """(delta_id, content_fp) — order-insensitive identity of a delta in one
-    distributed agg, no collect. ``delta_id`` (xor of image-id hashes + row
-    count) identifies the BATCH: a crash-replayed micro-batch maps to the
-    same manifest entry. ``content_fp`` additionally folds caption, phash
-    and the image bytes, so a re-drop of the same image ids with CHANGED
-    payload is distinguishable from a crash replay (ADVICE r2: ids-only
-    fingerprints made updated-content drops vanish as 'skip_replay').
-    Shared by the batch append and the streaming ingest."""
-    fp_row = new_images.agg(
-        F.expr("bit_xor(xxhash64(image_id))").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(image_id, caption, phash, bytes))")
-        .alias("c")).first()
+    """(delta_id, content_fp) — order-insensitive identity of a delta in
+    two distributed aggs, no collect. ``delta_id`` identifies the BATCH: a
+    crash-replayed micro-batch maps to the same manifest entry.
+    ``content_fp`` additionally folds caption, phash and the image bytes,
+    so a re-drop of the same image ids with CHANGED payload is
+    distinguishable from a crash replay (ADVICE r2: ids-only fingerprints
+    made updated-content drops vanish as 'skip_replay'). Multiplicity is
+    folded per id BEFORE the xor (ADVICE r3: a plain row-level bit_xor
+    cancels even-multiplicity rows, so {x,x,y} and {w,w,y} aliased to the
+    same fingerprint and the second batch was silently skipped) — the
+    per-id pre-agg keys the xor on xxhash64(id, count) instead. Shared by
+    the batch append and the streaming ingest."""
+    per_id = (new_images
+              .select("image_id",
+                      F.xxhash64("image_id", "caption", "phash", "bytes")
+                      .alias("rh"))
+              .groupBy("image_id")
+              .agg(F.count(F.lit(1)).alias("mult"),
+                   F.expr("bit_xor(rh)").alias("ch")))
+    fp_row = per_id.agg(
+        F.expr("bit_xor(xxhash64(image_id, mult))").alias("s"),
+        F.sum("mult").alias("n"),
+        F.expr("bit_xor(xxhash64(image_id, ch, mult))").alias("c")).first()
     mask = 0xFFFFFFFFFFFFFFFF
     return (f"{int(fp_row['s'] or 0) & mask:x}-{fp_row['n']}",
             f"{int(fp_row['c'] or 0) & mask:x}")
+
+
+def _update_clusters_partitioned(cat: CheckpointCatalog,
+                                 cfg: PipelineConfig,
+                                 affected: DataFrame, relabeled: DataFrame,
+                                 touched: set) -> None:
+    """O(touched) clusters update for an append (round-3 VERDICT #4: the
+    clusters table was the last corpus-wide rewrite on the append path).
+    Clusters partition on p = hash(rep) with the SAME hash/modulus as the
+    cc table (stages/cc.with_clusters_partition), so the cc update's
+    touched set applies verbatim: new cluster rows derive from
+    ``relabeled`` alone (the complete membership of every affected or
+    delta-born component — components only grow on append, so no cluster
+    outside ``touched`` changes), survivors are the touched partitions'
+    rows whose rep is not an affected component, and partitions left with
+    no rows are cleared explicitly (same ADVICE r3 stale-file hazard as
+    cc). Falls back to a full partitioned rewrite when the existing table
+    predates the layout."""
+    from apollo_spark.stages import cc as cc_stage
+    new_cl = cc_stage.with_clusters_partition(
+        cc_stage.clusters(relabeled.select("image_id", "cc_id")), cfg) \
+        .localCheckpoint()
+    if cat.is_complete("clusters") and \
+            cat.stage_info("clusters").get("cc_layout") == \
+            cc_stage.CC_LAYOUT:
+        if touched:
+            aff_rep = affected.select(F.col("cc_id").alias("rep"))
+            content = (cat.load("clusters")
+                       .filter(F.col("p").isin(sorted(touched)))
+                       .join(aff_rep, "rep", "left_anti")
+                       .unionByName(new_cl)
+                       .localCheckpoint())
+            present = {r["p"] for r in content.select("p")
+                       .distinct().collect()}
+            cat.clear_partitions("clusters", "p",
+                                 sorted(touched - present))
+            cat.overwrite_partitions(
+                "clusters", content, ["p"],
+                info={"cc_layout": cc_stage.CC_LAYOUT})
+    else:
+        cat.write("clusters", cc_stage.with_clusters_partition(
+            cc_stage.clusters(cat.load("cc").select("image_id", "cc_id")),
+            cfg), partition_by=["p"],
+            info={"cc_layout": cc_stage.CC_LAYOUT})
 
 
 def append_images(spark: SparkSession, all_images: DataFrame | None,
@@ -99,7 +153,7 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
     # duplicate invocation is refused and a crash between the stage appends
     # is detectable (ADVICE r1: non-atomic appends silently duplicated rows)
     delta_id, content_fp = delta_fingerprint(new_images)
-    cat.begin_delta(delta_id, content_fp)
+    cat.begin_delta(delta_id, content_fp, kind="append")
 
     feats = bags_stage.extract_features(new_images, cfg)
     delta_bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg) \
@@ -182,14 +236,26 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
             touched |= {r["p"] for r in cc_stage.with_cc_partition(
                 affected, cfg).select("p").distinct().collect()}
             if touched:
-                survivors = (cat.load("cc")
-                             .filter(F.col("p").isin(sorted(touched)))
-                             .join(affected, "cc_id", "left_anti")
-                             .localCheckpoint())
+                content = (cat.load("cc")
+                           .filter(F.col("p").isin(sorted(touched)))
+                           .join(affected, "cc_id", "left_anti")
+                           .unionByName(relabeled)
+                           .localCheckpoint())
+                # dynamic overwrite replaces only partitions PRESENT in
+                # the written df — a touched partition whose every row
+                # relabeled away (no survivor, new labels hash elsewhere)
+                # would keep its stale files and duplicate those members
+                # (ADVICE r3 high). Clear the difference explicitly,
+                # inside the pending window.
+                present = {r["p"] for r in content.select("p")
+                           .distinct().collect()}
+                cat.clear_partitions("cc", "p", sorted(touched - present))
                 cat.overwrite_partitions(
-                    "cc", survivors.unionByName(relabeled), ["p"],
+                    "cc", content, ["p"],
                     info={"cc_layout": cc_stage.CC_LAYOUT})
             cat.append("cc", singles, partition_by=["p"])
+            _update_clusters_partitioned(cat, cfg, affected, relabeled,
+                                         touched)
         else:
             # pre-partitioned-layout checkpoint: full rewrite fallback
             unaffected = old_cc.join(affected, "cc_id", "left_anti")
@@ -198,8 +264,10 @@ def append_images(spark: SparkSession, all_images: DataFrame | None,
                 cfg).localCheckpoint()
             cat.write("cc", new_cc, partition_by=["p"],
                       info={"cc_layout": cc_stage.CC_LAYOUT})
-        cat.write("clusters", cc_stage.clusters(
-            cat.load("cc").select("image_id", "cc_id")))
+            cat.write("clusters", cc_stage.with_clusters_partition(
+                cc_stage.clusters(new_cc.select("image_id", "cc_id")),
+                cfg), partition_by=["p"],
+                info={"cc_layout": cc_stage.CC_LAYOUT})
     else:
         cat.reset([s for s in DERIVED_STAGES] + ["cc", "clusters"])
     cat.commit_delta(delta_id)

@@ -220,12 +220,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     sh = word_shingles(docs, w)
     dfcap = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
              .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
-             .select("shingle"))
+             .select("shingle", "df"))
     shc = sh.join(dfcap, "shingle")
-    cands = (shc.select("shingle", F.col("doc_id").alias("a"))
-             .join(shc.select("shingle", F.col("doc_id").alias("b")),
-                   "shingle")
-             .filter(F.col("a") < F.col("b"))
+    # shared-shingle self-join through the engine's ONE salting device
+    # (ops/skew.salted_pairs) — a max-df shingle (df = SHINGLE_DF_CAP =
+    # 1024) would otherwise land its ~0.5M-row cross product on a single
+    # shuffle task (round-3 VERDICT: the last unsalted bucketed self-join).
+    # df doubles as the pre-computed per-key size, skipping the count agg.
+    from apollo_spark.ops.skew import salted_pairs
+    cands = (salted_pairs(shc, ["shingle"], "doc_id", n_col="df")
              .select("a", "b").distinct())
     return (jaccard(docs, cands, w, shingles=sh)
             .filter(F.col("jaccard") >= threshold))
@@ -321,9 +324,6 @@ def connected_components_pairs(pairs: DataFrame,
         prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nlabel")))
-        # one materializing action per round: new labels + moved flag land
-        # in the same localCheckpoint; the convergence count then scans the
-        # checkpointed rows instead of re-joining
         mids = (labels.join(prop, "doc_id", "left")
                 .select("doc_id",
                         F.least("label", "nlabel").alias("mid"),
@@ -332,12 +332,17 @@ def connected_components_pairs(pairs: DataFrame,
         # l(v) <- l(l(v)) via a self-join — O(log diameter) rounds
         parents = mids.select(F.col("doc_id").alias("mid"),
                               F.col("mid").alias("pmid"))
+        # lazy checkpoint + count-as-materializer (same device as
+        # stages/cc.label_fixpoint): ONE blocking job per round — the
+        # count computes the round, caches the checkpoint partitions and
+        # yields the convergence flag, replacing the eager-checkpoint +
+        # count pair that made the round count CC's serial scaling term
         new = (mids.join(parents, "mid", "left")
                .select("doc_id",
                        F.coalesce("pmid", "mid").alias("label"),
                        (F.coalesce("pmid", "mid") < F.col("old"))
                        .alias("moved"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = new.filter("moved").count()
         labels = new.select("doc_id", "label")
         if changed == 0:

@@ -98,7 +98,12 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     stage("cc", lambda: cc_stage.with_cc_partition(
         cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg),
         partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
-    stage("clusters", lambda: cc_stage.clusters(out["cc"]))
+    # clusters shares the cc table's hash-partitioned layout (keyed on the
+    # component rep with the same hash/modulus), so incremental appends
+    # dynamic-overwrite only delta-touched partitions of BOTH tables
+    stage("clusters", lambda: cc_stage.with_clusters_partition(
+        cc_stage.clusters(out["cc"]), cfg),
+        partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
     if refine:
         from apollo_spark.stages import refine as refine_stage
         stage("clusters_refined", lambda: refine_stage.refine_components(

@@ -84,11 +84,31 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
                          extensions=extensions, backend=backend)
         return "skip_replay"
 
-    if not cat.is_complete("vocab") or not cat.is_complete("bands"):
+    # a pending delta recorded by a crashed BOOTSTRAP dispatches back to
+    # the bootstrap branch even when the crash landed after run_pipeline
+    # completed vocab/bands (the full base may be marked complete with the
+    # delta still pending — a replay must re-run the overwrite-idempotent
+    # bootstrap, not fall through to the append path's loud refusal)
+    crashed_bootstrap = (cat.delta_state(delta_id) == "pending"
+                         and cat.delta_kind(delta_id) == "bootstrap")
+    if crashed_bootstrap or not cat.is_complete("vocab") \
+            or not cat.is_complete("bands"):
         # first batch bootstraps the base run: the delta goes pending FIRST,
-        # then the overwrite-idempotent stage writes, then images + commit —
-        # a crash anywhere inside surfaces as the pending refusal on replay
-        cat.begin_delta(delta_id, content_fp)
+        # then the overwrite-idempotent stage writes, then images + commit.
+        # Because every write on THIS path is an overwrite (run_pipeline
+        # stage writes + cat.write("images")), a replay after a transient
+        # mid-bootstrap crash is safe by construction — retry_pending
+        # re-arms the pending delta instead of bricking the stream (ADVICE
+        # r3); the loud pending refusal stays on the APPEND path, where
+        # parquet appends cannot roll back.
+        if crashed_bootstrap and cat.delta_content(delta_id) not in (
+                None, content_fp):
+            # same ids, CHANGED payload: stages completed by the crashed
+            # attempt were built from the old bytes — drop them so the
+            # retry rebuilds instead of loading stale checkpoints
+            cat.reset()
+        cat.begin_delta(delta_id, content_fp, retry_pending=True,
+                        kind="bootstrap")
         run_pipeline(spark, batch, cfg, out_dir, extensions=extensions,
                      backend=backend)
         cat.write("images", batch)

@@ -129,12 +129,13 @@ class TestCrashWindows:
     """ADVICE r2: the bootstrap crash window and content-changed re-drops
     must surface loudly instead of silently duplicating/vanishing."""
 
-    def test_bootstrap_crash_replay_refused(self, spark, cfg, tmp_path,
+    def test_bootstrap_crash_replay_retries(self, spark, cfg, tmp_path,
                                             monkeypatch):
         """A crash AFTER the bootstrap's stage writes begin but BEFORE
-        commit_delta leaves the delta pending; the replayed batch must hit
-        the loud 'pending' refusal, not dispatch to the append path and
-        double-append."""
+        commit_delta leaves the delta pending WITH kind=bootstrap; the
+        replayed batch must re-run the (overwrite-idempotent) bootstrap to
+        completion — NOT brick the stream with the pending refusal (ADVICE
+        r3), and NOT dispatch to the append path and double-append."""
         import apollo_spark.pipeline as pl
         pdf = synth.gen_corpus(60, seed=31)
         batch = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
@@ -150,12 +151,48 @@ class TestCrashWindows:
         with pytest.raises(RuntimeError, match="simulated crash"):
             apply_batch(spark, batch, cfg, out)
         monkeypatch.setattr(pl, "run_pipeline", real)
-        # vocab/bands ARE complete now — the old ordering would silently
-        # route this replay to the append path and double-append
+        # vocab/bands ARE complete and the delta is pending — the replay
+        # must still route to the bootstrap branch (kind marker) and finish
         cat = CheckpointCatalog(spark, out, cfg)
         assert cat.is_complete("vocab") and cat.is_complete("bands")
-        with pytest.raises(ValueError, match="pending"):
+        assert apply_batch(spark, batch, cfg, out) == "bootstrap"
+        assert cat.load("images").count() == 60  # overwrites: no doubling
+        assert cat.is_complete("clusters")
+        # the retried delta committed: a further replay is a plain skip
+        with pytest.warns(RuntimeWarning, match="crash-replayed"):
+            assert apply_batch(spark, batch, cfg, out) == "skip_replay"
+        # an APPEND crash must keep the loud refusal (covered in depth by
+        # test_append_crash_before_derived_update_refuses_replay)
+
+    def test_bootstrap_crash_changed_content_rebuilds(self, spark, cfg,
+                                                      tmp_path,
+                                                      monkeypatch):
+        """Crashed bootstrap, then the SAME ids re-dropped with CHANGED
+        payload: the stale completed stages (built from the old bytes)
+        must be dropped and rebuilt, not loaded."""
+        from pyspark.sql import functions as F
+        import apollo_spark.pipeline as pl
+        pdf = synth.gen_corpus(60, seed=36)
+        batch = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        real = pl.run_pipeline
+
+        def crash_after_stages(*a, **kw):
+            real(*a, **kw)
+            raise RuntimeError("simulated crash before commit_delta")
+
+        monkeypatch.setattr(pl, "run_pipeline", crash_after_stages)
+        with pytest.raises(RuntimeError, match="simulated crash"):
             apply_batch(spark, batch, cfg, out)
+        monkeypatch.setattr(pl, "run_pipeline", real)
+        changed = batch.withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(" EDITED")))
+        # same ids -> same delta_id -> bootstrap retry path; changed
+        # payload -> full reset + rebuild from the new bytes
+        assert apply_batch(spark, changed, cfg, out) == "bootstrap"
+        cat = CheckpointCatalog(spark, out, cfg)
+        got = cat.load("images").select("caption").first()["caption"]
+        assert got.endswith(" EDITED")
 
     def test_content_changed_redrop_raises(self, spark, cfg, tmp_path):
         """Same image ids, different payload: NOT a crash replay — refused
