@@ -7,7 +7,9 @@ each — identical math (md5-derived portable hashes, double-precision folds,
 6dp rounding grids) so value hashes match bit-for-bit. Kernel-backed stages
 (Weighted MinHash, IVF/k-means, binary decode) are rows-only entries; the
 LSH-ANN paths are fully oracled since r3 (the NumPy bucketing shares the
-SQL path's 6dp grid, so plane-literal oracles reproduce the buckets).
+SQL path's 6dp grid, so plane-literal oracles reproduce the buckets), and
+cluster_eval since r4 (dedup_cc clusters + TF bags + the gridded
+applyInPandas eval kernel vs a recursive-CTE + least()-sum oracle).
 
 Operator map (SURVEY.md §2 ids):
   A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
@@ -302,15 +304,28 @@ def _wjacc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V3 cluster-fitness telemetry (reference graph.py:349-412) over the
-    flagship chain's clusters; applyInPandas kernel -> rows-only check."""
-    images = _docs_as_images(_docs(spark, sf_dir))
-    cfg = _FLAGSHIP_CFG
-    bags = bags_stage.run(images, cfg).persist()
-    _, bands = hashst.run(bags, cfg)
-    cc = cc_stage.connected_components(bands.localCheckpoint(), cfg,
-                                       all_ids=images)
-    return evalcc.evaluate(cc_stage.clusters(cc), bags, cfg.threshold)
+    """V3 cluster-fitness telemetry (reference graph.py:349-412): per-
+    cluster pairwise sum-min/sum-max weighted Jaccard through the
+    applyInPandas kernel (stages/evalcc). FULLY ORACLED since r4: the
+    clusters come from the SQL-expressible dedup_cc chain and the bags are
+    plain TF weights, and the kernel grids every per-pair similarity on
+    the shared half-up 6dp grid — so the DuckDB twin (recursive-CTE CC +
+    least()-sum aggregation) reproduces misses/loss bit-for-bit. The same
+    kernel over the WMH flagship chain stays covered by run_pipeline
+    --evaluate and tests/test_stages.py::TestEval (kernel-backed there:
+    WMH clusters are not SQL-expressible)."""
+    docs = _docs(spark, sf_dir)
+    cc = dedup.connected_components_pairs(dedup.dup_edges(docs))
+    sizes = (cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("nm"))
+             .filter("nm >= 2"))
+    clusters = (cc.join(sizes.select("cc_id"), "cc_id")
+                .select(F.col("cc_id").alias("cluster_id"),
+                        F.col("doc_id").alias("image_id")))
+    bags = (text.term_frequencies(docs)
+            .select(F.col("doc_id").alias("image_id"),
+                    F.col("token").alias("feat_hash"),
+                    F.col("tf").cast("double").alias("weight")))
+    return evalcc.evaluate(clusters, bags, threshold=0.7)
 
 
 def _refined_clusters_query(spark: SparkSession, sf_dir: str,
@@ -558,6 +573,48 @@ SELECT a, b FROM cand"""
 
     o["cluster_sizes"] = _cc_sql(
         "SELECT cc_id, count(*)::BIGINT AS n_members FROM cc GROUP BY cc_id")
+
+    # V3 eval: per-cluster pairwise weighted Jaccard (sum-min / sum-max)
+    # over TF bags, clusters = the recursive-CTE CC above, every per-pair
+    # sim on the half-up 6dp grid exactly like evalcc._cluster_eval. TF
+    # weights are small exact integers in float64, so inter/union sums are
+    # EXACT on both engines and the gridded sims match bit-for-bit; loss
+    # sums are rounded to the same grid on emit.
+    o["cluster_eval"] = _cc_sql(""",
+csz AS (SELECT cc_id, count(*) AS nm FROM cc
+        GROUP BY cc_id HAVING count(*) >= 2),
+memb AS (SELECT c.cc_id AS cluster_id, c.doc_id
+         FROM cc c JOIN csz ON csz.cc_id = c.cc_id),
+tfx AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS w
+       FROM tfx GROUP BY doc_id, token),
+dsum AS (SELECT doc_id, sum(w) AS s FROM tf GROUP BY doc_id),
+cpair AS (SELECT m1.cluster_id, m1.doc_id AS a, m2.doc_id AS b
+          FROM memb m1 JOIN memb m2
+            ON m1.cluster_id = m2.cluster_id AND m1.doc_id < m2.doc_id),
+cmin AS (SELECT p.cluster_id, p.a, p.b, sum(least(x.w, y.w)) AS msum
+         FROM cpair p JOIN tf x ON x.doc_id = p.a
+         JOIN tf y ON y.doc_id = p.b AND y.token = x.token
+         GROUP BY p.cluster_id, p.a, p.b),
+csim AS (SELECT p.cluster_id, p.a, p.b,
+                round(coalesce(m.msum, 0)
+                      / (sa.s + sb.s - coalesce(m.msum, 0)), 6) AS sim
+         FROM cpair p
+         LEFT JOIN cmin m ON m.cluster_id = p.cluster_id
+                         AND m.a = p.a AND m.b = p.b
+         JOIN dsum sa ON sa.doc_id = p.a
+         JOIN dsum sb ON sb.doc_id = p.b),
+cper AS (SELECT cluster_id, count(*) AS pairs,
+                sum(CASE WHEN sim < 0.7 THEN 1 ELSE 0 END) AS misses,
+                sum(CASE WHEN sim < 0.7 THEN (sim - 0.7) * (sim - 0.7)
+                         ELSE 0 END) AS loss
+         FROM csim GROUP BY cluster_id)
+SELECT p.cluster_id, csz.nm::INT AS n_members, p.pairs::BIGINT AS pairs,
+       p.misses::BIGINT AS misses,
+       round(p.misses::DOUBLE / p.pairs, 6) AS miss_rate,
+       round(coalesce(p.loss, 0), 6) AS loss,
+       round(coalesce(p.loss, 0) / p.pairs, 6) AS loss_rate
+FROM cper p JOIN csz ON csz.cc_id = p.cluster_id""")
 
     _jc, _jb = _jaccard_parts(0.7, _CAND)
     o["wjacc_query"] = f"""

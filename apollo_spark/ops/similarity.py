@@ -337,13 +337,23 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
                      sample: int = 4096) -> np.ndarray:
     """Deterministic mini k-means for IVF coarse quantization.
 
-    Centroids train on a bounded id-range sample (first ``sample`` vec_ids
-    — deterministic, no shuffle) collected to the driver: the codebook is
-    tiny and training it driver-side is standard IVF practice; ASSIGNMENT
-    stays distributed. Lloyd iterations in float64 NumPy; empty clusters
-    re-seeded deterministically from the sample."""
-    pdf = emb.filter(F.col("vec_id") < sample) \
-        .select("embedding").toPandas()
+    Centroids train on a bounded HASH sample of vec_ids collected to the
+    driver: the codebook is tiny and training it driver-side is standard
+    IVF practice; ASSIGNMENT stays distributed. The sample is
+    pmod(xxhash64(vec_id), ceil(n/sample)) == 0 — deterministic and
+    UNBIASED w.r.t. id order (round-3 VERDICT #6: the old first-``sample``
+    -ids prefix trained the codebook on one time slice of a crawl-ordered
+    corpus, skewing cells toward whatever that slice contained), with a
+    deterministic orderBy-hash cap bounding the collect at ~``sample``
+    rows. Lloyd iterations in float64 NumPy; empty clusters re-seeded
+    deterministically from the sample."""
+    import math
+    n = emb.count()
+    stride = max(1, math.ceil(n / sample))
+    pdf = (emb.select("embedding", F.xxhash64("vec_id").alias("__h"))
+           .filter(F.pmod(F.col("__h"), F.lit(stride)) == 0)
+           .orderBy("__h").limit(sample)
+           .select("embedding").toPandas())
     x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     gen = np.random.Generator(np.random.PCG64(seed))

@@ -162,6 +162,27 @@ class TestDedup:
             assert len(sizes) >= 4                    # really sharded
             assert max(sizes) <= 2 * dedup.SALT_TARGET  # balanced-ish
 
+    def test_ngram_jaccard_salted_hot_shingle(self, spark):
+        """round-3 VERDICT #3: the shared-shingle candidate join was the
+        last unsalted bucketed self-join. With one hot shingle shared by
+        120 docs (well under the 1024 df cap), the salted join must (a)
+        carry __salt in the physical join key and (b) return exactly the
+        C(120,2) verified pairs of the identical-text block."""
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 120,
+                   "hot templated body shared by many documents verbatim")
+            .otherwise(F.expr(
+                "concat_ws(' ', transform(sequence(0, 7), "
+                "j -> concat('w', id, 'x', j)))"))
+            .alias("text"))
+        out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+        got = {(r.a, r.b) for r in out.collect()}
+        expect = {(a, b) for a in range(120) for b in range(120) if a < b}
+        assert got == expect
+
     def test_cc_pairs_union_find(self, spark):
         pairs = spark.createDataFrame(
             pd.DataFrame({"a": [1, 2, 10, 11, 20],
@@ -273,6 +294,32 @@ class TestSimilarity:
                                    n_centroids=8, nprobe=8).toPandas()
         fu = {(r.qid, r.nid) for r in full.itertuples()}
         assert fu == ex
+
+    def test_ivf_codebook_hash_sample_unbiased(self, spark):
+        """round-3 VERDICT #6: the codebook used to train on the first-N
+        id prefix — on a cluster-ORDERED corpus (ids sorted by true
+        cluster, the crawl-ordered shape) a prefix of 128 ids sees ONLY
+        cluster 0. The hash sample must land centroids in all 4 true
+        clusters; determinism across calls must hold."""
+        rng = np.random.default_rng(7)
+        centers = np.zeros((4, 16))
+        for c in range(4):
+            centers[c, c] = 10.0
+        rows = []
+        for c in range(4):
+            for i in range(256):
+                v = centers[c] + rng.normal(0, 0.05, 16)
+                rows.append((c * 256 + i, [float(x) for x in v]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        cents = similarity.kmeans_centroids(emb, n_centroids=4, sample=128)
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        tc = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        covered = set(np.argmax(cn @ tc.T, axis=1).tolist())
+        assert covered == {0, 1, 2, 3}, covered
+        again = similarity.kmeans_centroids(emb, n_centroids=4, sample=128)
+        assert np.array_equal(cents, again)
 
     def test_lsh_bucket_determinism(self, emb):
         a = similarity.lsh_bucketed(emb, nbits=6).toPandas() \
