@@ -139,6 +139,13 @@ class CheckpointCatalog:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(self.path(stage))
+            if partition_by and not self._stage_files(stage):
+                # an EMPTY partitioned write emits no data files at all, so
+                # the read-back cannot infer a schema (hit by a clusters
+                # table over a corpus with zero non-singleton components);
+                # rewrite the empty frame flat — 0 rows, schema preserved
+                df.limit(0).write.mode("overwrite").parquet(
+                    self.path(stage))
         out = self.load(stage)
         self._record_metrics(stage, time.time() - t0)
         m = self._manifest()
@@ -204,6 +211,12 @@ class CheckpointCatalog:
             df.writeTo(self._table(stage)).overwritePartitions()
             self._record_metrics(stage, time.time() - t0, files=[])
         else:
+            import glob
+            # a table written by the empty-flat fallback (see write) holds
+            # one ROOT-LEVEL 0-row file; drop it before the partitioned
+            # write or partition discovery would see a mixed layout
+            for f in glob.glob(os.path.join(self.path(stage), "*.parquet")):
+                os.remove(f)
             before = set(self._stage_files(stage))
             # per-WRITE dynamic mode (ADVICE r3): scoping the option to
             # this writer instead of mutating the session conf means a

@@ -65,13 +65,18 @@ def delta_fingerprint(new_images: DataFrame) -> tuple[str, str]:
     same fingerprint and the second batch was silently skipped) — the
     per-id pre-agg keys the xor on xxhash64(id, count) instead. Shared by
     the batch append and the streaming ingest."""
-    per_id = (new_images
-              .select("image_id",
-                      F.xxhash64("image_id", "caption", "phash", "bytes")
-                      .alias("rh"))
-              .groupBy("image_id")
-              .agg(F.count(F.lit(1)).alias("mult"),
-                   F.expr("bit_xor(rh)").alias("ch")))
+    per_row = (new_images
+               .select("image_id",
+                       F.xxhash64("image_id", "caption", "phash", "bytes")
+                       .alias("rh"))
+               .groupBy("image_id", "rh")
+               .agg(F.count(F.lit(1)).alias("rcnt")))
+    per_id = (per_row.groupBy("image_id")
+              .agg(F.sum("rcnt").alias("mult"),
+                   # hash the (row-hash, count) PAIR before the xor: a
+                   # duplicated identical row would otherwise cancel to 0
+                   # and a content edit of such a row would be invisible
+                   F.expr("bit_xor(xxhash64(rh, rcnt))").alias("ch")))
     fp_row = per_id.agg(
         F.expr("bit_xor(xxhash64(image_id, mult))").alias("s"),
         F.sum("mult").alias("n"),

@@ -125,6 +125,7 @@ class IcebergStubSpark:
         self.next_snapshot = 1001
         self.writers = []
         self.dropped = []
+        self.deletes = []
         self.namespaces = []
         self.conf = self._Conf(spark.conf)
         self.catalog = self._Catalog(self)
@@ -157,6 +158,11 @@ class IcebergStubSpark:
             tbl = qn.rsplit(" ", 1)[1]
             self.dropped.append(tbl)
             self.tables.pop(tbl, None)
+            return self._spark.range(0)
+        if qn.startswith("DELETE FROM"):
+            tbl = qn.split("DELETE FROM ")[1].split(" ")[0]
+            assert tbl in self.tables, f"delete on missing table {tbl}"
+            self.deletes.append(qn)
             return self._spark.range(0)
         if qn.startswith("SELECT snapshot_id FROM"):
             tbl = qn.split("FROM ")[1].split(".snapshots")[0]
@@ -212,6 +218,21 @@ class TestIcebergBranch:
         mm = {(r["partition_id"], r["rows"], r["bytes"])
               for r in cat.metrics().filter("stage = 'bands'").collect()}
         assert (0, 10, 1234) in mm and (1, 7, 999) in mm
+
+    def test_clear_partitions_issues_partition_delete(self, spark, cfg,
+                                                      tmp_path):
+        """clear_partitions (ADVICE r3 high: emptied partitions must be
+        cleared explicitly — overwritePartitions cannot write zero rows
+        into a partition) maps to a metadata DELETE on the partition
+        predicate on the Iceberg branch; empty value list = no SQL."""
+        stub = IcebergStubSpark(spark)
+        cat = CheckpointCatalog(stub, str(tmp_path), cfg, backend="iceberg")
+        cat.write("cc", FakeDF(stub), partition_by=["p"])
+        cat.clear_partitions("cc", "p", [3, 7])
+        assert stub.deletes == [
+            "DELETE FROM local.apollo.cc WHERE p IN (3, 7)"]
+        cat.clear_partitions("cc", "p", [])
+        assert len(stub.deletes) == 1
 
     def test_append_delta_metrics_and_snapshot_advance(self, spark, cfg,
                                                        tmp_path):
