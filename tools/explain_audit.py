@@ -204,6 +204,36 @@ def main() -> int:
           "[codegen id" in p.split("(3) Project")[-1]
           if "(3) Project" in p else "codegen id" in p)]))
 
+    # 10. ngram Jaccard candidate join — the last unsalted bucketed
+    # self-join until r4; now on the shared salting device with the df
+    # census reused as the shard divisor
+    ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    p = plan_of(ng)
+    sections.append((
+        "ngram Jaccard shared-shingle join (salted since r4)", p,
+        [("salt in the shingle join key", "__salt" in p),
+         ("no cartesian product", "CartesianProduct" not in p),
+         ("df census reused as shard divisor (no second count agg on "
+          "the capped table)", p.count("HashAggregate") >= 2)]))
+
+    # 11. clusters checkpoint: hash-partitioned on the component rep —
+    # a per-cluster probe prunes to one partition (the same layout the
+    # incremental append overwrites O(touched) partitions of)
+    from apollo_spark.stages import cc as cc_mod
+    cl_dir = "/tmp/apollo_plan_audit_clusters"
+    cc_df = cc_mod.connected_components(
+        hashst.bands(sigs, cfg).localCheckpoint(), cfg, all_ids=images)
+    cc_mod.with_clusters_partition(cc_mod.clusters(cc_df), cfg) \
+        .write.mode("overwrite").partitionBy("p").parquet(cl_dir)
+    cl_pq = spark.read.parquet(cl_dir)
+    probe_cl = cl_pq.filter(F.col("p") == 5)
+    p = plan_of(probe_cl)
+    sections.append((
+        "clusters probe on rep-hash-partitioned table (O(touched) IO)", p,
+        [("partition filter pushed",
+          "p#" in p.split("PartitionFilters")[1].split("]")[0]
+          if "PartitionFilters" in p else False)]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
