@@ -316,9 +316,10 @@ def connected_components_pairs(pairs: DataFrame,
              .localCheckpoint())  # cut the (possibly LSH-deep) pair lineage
                                   # ONCE — without this every round re-runs
                                   # the whole candidate+verify chain
+    # lazy: materializes inside round 1's count job (count-as-materializer)
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     changed = 0
     for _ in range(max_iter):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")

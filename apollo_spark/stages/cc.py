@@ -72,11 +72,13 @@ def label_fixpoint(edges: DataFrame, max_iter: int) -> DataFrame:
                        F.col("rep").alias("dst"))
     sym = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # lazy: materializes (and caches) inside round 1's count job — same
+    # count-as-materializer device as the per-round checkpoints below
     labels = (edges.select("image_id")
               .unionByName(edges.select(F.col("rep").alias("image_id")))
               .distinct()
               .withColumn("label", F.col("image_id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     changed = 0
     for _ in range(max_iter):
         prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
