@@ -31,12 +31,16 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
                  extensions: bool = True,
                  evaluate: bool = False,
                  refine: bool = False,
-                 backend: str = "parquet") -> dict:
+                 backend: str = "parquet",
+                 cat: CheckpointCatalog | None = None) -> dict:
     """Returns {stage_name: DataFrame} of all checkpointed outputs.
     ``backend="iceberg"`` checkpoints to DataSourceV2 tables in the
     configured Spark catalog instead of parquet directories (see
-    checkpoint.py for the spark-submit --packages recipe)."""
-    cat = CheckpointCatalog(spark, out_dir, cfg, backend=backend)
+    checkpoint.py for the spark-submit --packages recipe). Pass ``cat``
+    to reuse a caller's catalog instance — the incremental-append path
+    does, so its metrics batching (CheckpointCatalog.batched_catalog)
+    spans the derived-stage rebuilds performed here."""
+    cat = cat or CheckpointCatalog(spark, out_dir, cfg, backend=backend)
     out: dict[str, DataFrame] = {}
     timings: dict[str, float] = {}
 

@@ -64,7 +64,12 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
         return "skip_empty"
     cat = CheckpointCatalog(spark, out_dir, cfg, backend=backend)
     from apollo_spark.pipeline import run_pipeline
-    delta_id, content_fp = delta_fingerprint(batch)
+    delta_id, content_fp, legacy = delta_fingerprint(batch)
+    # a batch first seen by a pre-upgrade run lives in the manifest under
+    # the old fingerprint formula — resolve to THAT entry so a crash
+    # replay spanning the upgrade still skips/refuses instead of
+    # double-appending (ADVICE r4 medium)
+    delta_id = cat.resolve_delta_id(delta_id, legacy)
     if cat.delta_state(delta_id) == "committed":
         stored = cat.delta_content(delta_id)
         if stored is not None and stored != content_fp:
@@ -109,9 +114,12 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame,
             cat.reset()
         cat.begin_delta(delta_id, content_fp, retry_pending=True,
                         kind="bootstrap")
-        run_pipeline(spark, batch, cfg, out_dir, extensions=extensions,
-                     backend=backend)
-        cat.write("images", batch)
+        # one metrics flush for the whole bootstrap (same batching as the
+        # append path — micro-batch cadence is bounded by fixed per-op cost)
+        with cat.batched_catalog():
+            run_pipeline(spark, batch, cfg, out_dir, extensions=extensions,
+                         backend=backend, cat=cat)
+            cat.write("images", batch)
         cat.commit_delta(delta_id)
         return "bootstrap"
 

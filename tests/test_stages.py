@@ -916,3 +916,98 @@ class TestIncrementalCC:
         fp_edit = delta_fingerprint(mk([x2, x2, y]))
         assert fp_edit[0] == fp_xxy[0]
         assert fp_edit[1] != fp_xxy[1]
+
+
+class TestCatalogBatching:
+    """Round-4 VERDICT #3: each catalog op's metrics append was its own
+    driver-blocking Spark job (~10 per incremental append). batched_catalog
+    defers them into ONE flush and records the op count in the manifest."""
+
+    def test_single_metrics_flush(self, spark, cfg, tmp_path):
+        import glob as g
+        import os
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path / "cat"), cfg)
+        df = spark.range(10).selectExpr("id", "id * 2 as v")
+        mdir = os.path.join(cat.root, "metrics")
+        with cat.batched_catalog():
+            cat.write("s1", df)
+            cat.append("s1", df)
+            cat.write("s2", df)
+            # nothing flushed while batching
+            assert not g.glob(os.path.join(mdir, "*.parquet"))
+        files = g.glob(os.path.join(mdir, "*.parquet"))
+        assert len(files) == 1  # ONE flush for three ops
+        m = cat.metrics().toPandas()
+        assert set(m["stage"]) == {"s1", "s2"}
+        info = cat._manifest()["catalog_batch"]
+        assert info["ops"] == 3 and info["metrics_writes"] == 1
+        # stage data and completeness were written eagerly
+        assert cat.is_complete("s1") and cat.load("s1").count() == 20
+
+    def test_nested_batching_flushes_once(self, spark, cfg, tmp_path):
+        import glob as g
+        import os
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path / "cat"), cfg)
+        df = spark.range(5).selectExpr("id", "id as v")
+        with cat.batched_catalog():
+            cat.write("a", df)
+            with cat.batched_catalog():  # no-op: outer flush wins
+                cat.write("b", df)
+            assert not g.glob(os.path.join(cat.root, "metrics",
+                                           "*.parquet"))
+        assert len(g.glob(os.path.join(cat.root, "metrics",
+                                       "*.parquet"))) == 1
+        assert cat._manifest()["catalog_batch"]["ops"] == 2
+
+    def test_append_images_batches_catalog_ops(self, spark, cfg, tmp_path):
+        """A real incremental append performs its many catalog ops under
+        one flush, and the manifest proves it."""
+        import glob as g
+        import os
+        from apollo_spark import synth
+        from apollo_spark.checkpoint import CheckpointCatalog
+        from apollo_spark.incremental import append_images
+        from apollo_spark.pipeline import run_pipeline
+        pdf = synth.gen_corpus(120, seed=61)
+        half = spark.createDataFrame(
+            pdf.iloc[:60].drop(columns=["gt_cluster"]))
+        delta = spark.createDataFrame(
+            pdf.iloc[60:].drop(columns=["gt_cluster"]))
+        out = str(tmp_path / "run")
+        run_pipeline(spark, half, cfg, out)
+        mdir = os.path.join(out, "metrics")
+        before = set(g.glob(os.path.join(mdir, "*.parquet")))
+        append_images(spark, half.unionByName(delta), delta, cfg, out)
+        after = set(g.glob(os.path.join(mdir, "*.parquet")))
+        assert len(after - before) == 1  # one flush for the whole append
+        cat = CheckpointCatalog(spark, out, cfg)
+        info = cat._manifest()["catalog_batch"]
+        assert info["ops"] >= 5 and info["metrics_writes"] == 1
+
+    def test_partitioned_append_onto_empty_flat_fallback(
+            self, spark, cfg, tmp_path):
+        """ADVICE r4: a stage written by the empty-flat fallback (0-row
+        root file) then extended via a partitioned append must not end up
+        with a mixed root/hive layout that breaks partition discovery."""
+        import glob as g
+        import os
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, str(tmp_path / "cat"), cfg)
+        empty = spark.range(0).selectExpr("id", "id % 3 as p")
+        cat.write("st", empty, partition_by=["p"])
+        assert cat.load("st").count() == 0  # flat fallback readable
+        delta = spark.range(6).selectExpr("id", "id % 3 as p")
+        cat.append("st", delta, partition_by=["p"])
+        got = cat.load("st")
+        assert got.count() == 6
+        assert {r["p"] for r in got.select("p").distinct().collect()} \
+            == {0, 1, 2}
+        # no root-level data file survived next to the hive dirs
+        assert not g.glob(os.path.join(cat.path("st"), "*.parquet"))
+        # and an empty-onto-empty append keeps the table readable
+        cat.write("st2", empty, partition_by=["p"])
+        cat.append("st2", spark.range(0).selectExpr("id", "id % 3 as p"),
+                   partition_by=["p"])
+        assert cat.load("st2").count() == 0
