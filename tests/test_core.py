@@ -249,3 +249,21 @@ class TestBenchContinuity:
         monkeypatch.setattr(bench_mod.os.path, "abspath",
                             lambda p: str(tmp_path / "bench.py"))
         assert bench_mod._load_prev_bench() is None
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """Bit-parity of the pure-Python XXH64 (core/xxh.py) with Spark's
+    xxhash64 over long columns — the device that lets DuckDB oracles
+    replay hash-ordered plans (IVF codebook sample) without a JVM."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apollo_spark.core.xxh import xxhash64_long, xxhash64_longs
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789, -987654321,
+            2**63 - 1, -(2**63)] + list(range(1000, 1050))
+    df = spark.createDataFrame([(v,) for v in vals], "v long") \
+        .select("v", F.xxhash64("v").alias("h"))
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert all(got[v] == xxhash64_long(v) for v in vals)
+    assert np.array_equal(xxhash64_longs(np.array(vals, dtype=np.int64)),
+                          np.array([got[v] for v in vals]))

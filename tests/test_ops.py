@@ -567,3 +567,42 @@ class TestSimhashSkew:
         assert got == brute
         # the identical-text block really is hot: all 60C2 pairs present
         assert len([p for p in got if p[0] < 60 and p[1] < 60]) == 1770
+
+
+class TestKmeansParity:
+    def test_local_codebook_bitwise_matches_spark(self, spark, tmp_path):
+        """kmeans_centroids_local (pyarrow + pure-Python XXH64 sample)
+        must produce the SAME codebook, bit for bit, as the Spark path —
+        the honesty condition of the r5 centroid-literal IVF oracles."""
+        rng = np.random.default_rng(11)
+        rows = [(int(i) * 7 - 300, [float(x) for x in rng.normal(0, 1, 12)])
+                for i in range(400)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        path = str(tmp_path / "emb.parquet")
+        emb.coalesce(1).write.parquet(path)
+        c_spark = similarity.kmeans_centroids(
+            spark.read.parquet(path), n_centroids=8, sample=128)
+        c_local = similarity.kmeans_centroids_local(
+            path, n_centroids=8, sample=128)
+        assert np.array_equal(c_spark, c_local)
+
+    def test_single_action_sampling(self, spark):
+        """ADVICE r4: the codebook build must run ONE action over the
+        (possibly expensive) emb lineage, not a count + a collect."""
+        # count row evaluations via a Spark accumulator in the lineage
+        acc = spark.sparkContext.accumulator(0)
+        from pyspark.sql import functions as F
+
+        @F.udf("long")
+        def tick(v):
+            acc.add(1)
+            return v
+        rng = np.random.default_rng(5)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(0, 1, 8)])
+             for i in range(200)],
+            "vec_id long, embedding array<double>") \
+            .withColumn("vec_id", tick("vec_id"))
+        similarity.kmeans_centroids(emb, n_centroids=4, sample=64)
+        assert acc.value == 200  # each row evaluated exactly once

@@ -441,37 +441,18 @@ class TestEval:
         g = evalcc.global_metrics(per)
         assert g["clusters"] == len(rows)
 
-    def test_eval_kernel_matches_sql_math_bitwise(self):
-        """The gridded eval kernel (half-up 6dp sims, gridded rates) must
-        reproduce the DuckDB sum-min/sum-max SQL bit-for-bit — the device
-        behind the cluster_eval oracle (round-3 VERDICT what's-missing #2).
-        Pure pandas/DuckDB: no Spark, so it pins the MATH independent of
-        the engine plumbing."""
-        import duckdb
-        import numpy as np
-        import pandas as pd
-        from apollo_spark.stages.evalcc import _cluster_eval
-        rng = np.random.default_rng(3)
-        rows = []
-        for cid, ms in {10: [1, 2, 3, 4], 20: [5, 6, 7], 30: [8, 9]}.items():
-            for m in ms:
-                for t in rng.choice(30, size=rng.integers(5, 15),
-                                    replace=False):
-                    rows.append((cid, m, f"tok{t}",
-                                 float(rng.integers(1, 5))))
-        pdf = pd.DataFrame(rows, columns=["cluster_id", "image_id",
-                                          "feat_hash", "weight"])
-        outs = [_cluster_eval(0.7)((cid,), g.drop(columns=["cluster_id"]))
-                for cid, g in pdf.groupby("cluster_id")]
-        kern = pd.concat(outs, ignore_index=True) \
-            .sort_values("cluster_id", ignore_index=True)
-        con = duckdb.connect()
-        con.register("tf", pdf.rename(columns={
-            "image_id": "doc_id", "feat_hash": "token", "weight": "w"}))
-        ora = con.execute("""
-WITH memb AS (SELECT DISTINCT cluster_id, doc_id FROM tf),
-csz AS (SELECT cluster_id AS cid, count(*) AS nm FROM memb
+    # the DuckDB twin of the eval kernel, parameterized on the member cap
+    # so the cap-mirror (ADVICE r4) is testable at toy scale
+    _EVAL_SQL = """
+WITH membs AS (SELECT DISTINCT cluster_id, doc_id FROM tf),
+csz AS (SELECT cluster_id AS cid, count(*) AS nm FROM membs
         GROUP BY cluster_id HAVING count(*) >= 2),
+memb AS (SELECT cluster_id, doc_id FROM (
+           SELECT m.cluster_id, m.doc_id,
+                  row_number() OVER (PARTITION BY m.cluster_id
+                                     ORDER BY m.doc_id) AS rn
+           FROM membs m JOIN csz ON csz.cid = m.cluster_id)
+         WHERE rn <= {cap}),
 dsum AS (SELECT doc_id, sum(w) AS s FROM tf GROUP BY doc_id),
 cpair AS (SELECT m1.cluster_id, m1.doc_id AS a, m2.doc_id AS b
           FROM memb m1 JOIN memb m2
@@ -490,16 +471,74 @@ csim AS (SELECT p.cluster_id, p.a, p.b,
          JOIN dsum sb ON sb.doc_id = p.b),
 cper AS (SELECT cluster_id, count(*) AS pairs,
                 sum(CASE WHEN sim < 0.7 THEN 1 ELSE 0 END) AS misses,
-                sum(CASE WHEN sim < 0.7 THEN (sim - 0.7) * (sim - 0.7)
-                         ELSE 0 END) AS loss
+                sum(CASE WHEN sim < 0.7 THEN CAST(floor(
+                      (sim - 0.7) * (sim - 0.7) * 1e6 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS loss_micro
          FROM csim GROUP BY cluster_id)
 SELECT p.cluster_id, csz.nm::INT AS n_members, p.pairs::BIGINT AS pairs,
        p.misses::BIGINT AS misses,
        round(p.misses::DOUBLE / p.pairs, 6) AS miss_rate,
-       round(coalesce(p.loss, 0), 6) AS loss,
-       round(coalesce(p.loss, 0) / p.pairs, 6) AS loss_rate
+       coalesce(p.loss_micro, 0) / 1e6 AS loss,
+       round(coalesce(p.loss_micro, 0) / 1e6 / p.pairs, 6) AS loss_rate
 FROM cper p JOIN csz ON csz.cid = p.cluster_id
-ORDER BY p.cluster_id""").df()
+ORDER BY p.cluster_id"""
+
+    @staticmethod
+    def _toy_bags(seed=3):
+        import numpy as np
+        import pandas as pd
+        rng = np.random.default_rng(seed)
+        rows = []
+        for cid, ms in {10: [1, 2, 3, 4], 20: [5, 6, 7], 30: [8, 9]}.items():
+            for m in ms:
+                for t in rng.choice(30, size=rng.integers(5, 15),
+                                    replace=False):
+                    rows.append((cid, m, f"tok{t}",
+                                 float(rng.integers(1, 5))))
+        return pd.DataFrame(rows, columns=["cluster_id", "image_id",
+                                           "feat_hash", "weight"])
+
+    def _kernel_frame(self, pdf):
+        import pandas as pd
+        from apollo_spark.stages.evalcc import _cluster_eval
+        outs = [_cluster_eval(0.7)((cid,), g.drop(columns=["cluster_id"]))
+                for cid, g in pdf.groupby("cluster_id")]
+        return pd.concat(outs, ignore_index=True) \
+            .sort_values("cluster_id", ignore_index=True)
+
+    def test_eval_kernel_matches_sql_math_bitwise(self):
+        """The gridded eval kernel (half-up 6dp sims, integer micro-unit
+        loss accumulation — ADVICE r4: gridding each term BEFORE the sum
+        makes the total independent of engine scan order) must reproduce
+        the DuckDB sum-min/sum-max SQL bit-for-bit — the device behind the
+        cluster_eval oracle. Pure pandas/DuckDB: no Spark, so it pins the
+        MATH independent of the engine plumbing."""
+        import duckdb
+        pdf = self._toy_bags()
+        kern = self._kernel_frame(pdf)
+        con = duckdb.connect()
+        con.register("tf", pdf.rename(columns={
+            "image_id": "doc_id", "feat_hash": "token", "weight": "w"}))
+        ora = con.execute(self._EVAL_SQL.format(cap=4096)).df()
+        for c in kern.columns:
+            assert (kern[c].to_numpy() == ora[c].to_numpy()).all(), c
+
+    def test_eval_member_cap_mirrored_in_sql(self, monkeypatch):
+        """ADVICE r4: the kernel's MAX_EVAL_MEMBERS cap (lowest-id subset)
+        must have an exact SQL counterpart — verified by shrinking the cap
+        to 3 so the 4-member cluster actually trips it: pairs become
+        C(3,2) while n_members still reports the true size."""
+        import duckdb
+        from apollo_spark.stages import evalcc as evalcc_mod
+        monkeypatch.setattr(evalcc_mod, "MAX_EVAL_MEMBERS", 3)
+        pdf = self._toy_bags()
+        kern = self._kernel_frame(pdf)
+        assert kern.loc[kern["cluster_id"] == 10, "pairs"].iloc[0] == 3
+        assert kern.loc[kern["cluster_id"] == 10, "n_members"].iloc[0] == 4
+        con = duckdb.connect()
+        con.register("tf", pdf.rename(columns={
+            "image_id": "doc_id", "feat_hash": "token", "weight": "w"}))
+        ora = con.execute(self._EVAL_SQL.format(cap=3)).df()
         for c in kern.columns:
             assert (kern[c].to_numpy() == ora[c].to_numpy()).all(), c
 
