@@ -500,7 +500,7 @@ h AS (SELECT doc_id,
              ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
 bitsum AS (SELECT doc_id, j,
                   sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
            GROUP BY doc_id, j),
 sig AS (SELECT doc_id,
                sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT

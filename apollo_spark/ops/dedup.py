@@ -246,11 +246,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
         .select("doc_id", "content_md5", "canonical_id")
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """SimHash sketch: (doc_id, simhash long). Bit j of the sketch is the
     majority vote of bit j over the md5-hashes of the document's distinct
     tokens (ties -> 0 via strict > comparison). Pure column math —
-    one explode + one agg."""
+    one explode + one agg. 60 bits (the md5_long width, and the widest
+    that keeps every block shift in positive signed-long range) since
+    round 5 — see simhash_pairs for why block width is a scale knob."""
     toks = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                         F.explode(F.array_distinct(tokens_col()))
                         .alias("tok"))
@@ -266,7 +268,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return voted.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 32,
+def simhash_pairs(docs: DataFrame, bits: int = 60,
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming ball: (a, b, hamming).
 
@@ -276,12 +278,20 @@ def simhash_pairs(docs: DataFrame, bits: int = 32,
     per-block bucket joins instead of the O(n²) cross join (which the
     oracle uses, brute force, to certify equivalence).
 
-    The block self-join is SALTED (round-2 VERDICT #1: blocks of 8 bits
-    mean 256 possible values per position, so a skewed corpus — many
-    near-zero sketches — puts O(n) docs in one (blk, val) key and O(n²)
-    pairs on one shuffle task; the skew device is shared with the MinHash
-    pair join and is semantics-free, so the brute-force oracle is
-    unchanged). No bucket CAP here on purpose: unlike LSH candidates,
+    BLOCK WIDTH IS A SCALE KNOB: expected candidates per block are
+    ~n²/2^(bits/(max_hamming+1)), so the block width must grow with
+    log2(n). The round-5 480k skew probe measured the old 32-bit sketch
+    (8-bit blocks, 256 values) generating ~5e9 candidate combos from
+    NATURAL collisions alone — 60-bit sketches (15-bit blocks) cut that
+    ~180x at identical Hamming-ball semantics (BASELINE.md round-5 skew
+    table). At 10^10 rows, pair bits=64-bit+ sketches with wider blocks
+    or a higher block count.
+
+    The block self-join is SALTED via the shared 2-D grid device
+    (round-2 VERDICT #1; upgraded round 5 after the probe caught the
+    one-sided form's salt_target·n per-cell output putting 256 s on one
+    task). The device is semantics-free, so the brute-force oracle is
+    unchanged. No bucket CAP here on purpose: unlike LSH candidates,
     Hamming-ball pairs are exact output, and a cap would silently drop
     true near-dups — the salting bounds the per-task work instead."""
     nblocks = max_hamming + 1

@@ -7,15 +7,22 @@ a bucket key (LSH band, SimHash block, hyperplane bucket, IVF cell).
 Without salting, a hot bucket of n rows lands its entire n² cross product
 on ONE shuffle task — the classic skew blowup the reference sidesteps with
 its linear --edges mode (/root/reference/apollo/graph.py:209-249). Here the
-quadratic mode itself is made skew-safe: buckets above ``salt_target``
-members are split into s = ceil(n / salt_target) shards; the a-side gets
-salt = hash(id) mod s, the b-side is replicated once per shard, and the
-join key becomes (keys..., salt). Every unordered (a, b) combination still
-appears exactly once (at a's salt), so the device is SEMANTICS-FREE — the
-DuckDB oracles of the unsalted joins stay green — while no shuffle task
-holds more than ~salt_target·n pairs. Buckets at or below salt_target have
-s = 1 and pay nothing. AQE skew-join splitting stays on as the backstop
-for residual imbalance in the hash.
+quadratic mode itself is made skew-safe with TWO-DIMENSIONAL salting:
+buckets above ``salt_target`` members are split into an s × s shard grid,
+s = ceil(n / salt_target); each side gets its own salt = hash(id) mod s
+and is replicated across the OTHER side's s values, and the join key
+becomes (keys..., salt_a, salt_b). Every unordered (a, b) combination
+still appears exactly once — at the cell (hash(a) mod s, hash(b) mod s) —
+so the device is SEMANTICS-FREE (the DuckDB oracles of the unsalted joins
+stay green), and every grid cell's join output is ~salt_target², REGARDLESS
+of bucket size. The round-5 one-sided form (a-side salted, b-side
+replicated) bounded per-cell output only by salt_target·n, and the planted
+480k-corpus skew probe caught exactly that: a 12k-member SimHash block put
+256 s on one join task against a 28 s median (max/median 8.9; BASELINE.md
+round-5 skew table). The grid form costs one extra replication of the hot
+bucket's rows (2·n·s shuffled vs n·s + n) and buys max/median ≈ 1. Buckets
+at or below salt_target have s = 1 and pay nothing. AQE skew-join
+splitting stays on as the backstop for residual imbalance in the hash.
 
 Used by: the MinHash LSH pair join (ops/dedup.candidate_pairs), both
 SimHash block joins (ops/dedup.simhash_pairs text twin, stages/candidates.
@@ -59,14 +66,21 @@ def salted_pairs(df: DataFrame, keys: Sequence[str], id_col: str,
         n_col = "__n"
     nshards = F.greatest(
         F.lit(1), F.ceil(F.col(n_col) / salt_target)).cast("int")
+    # 2-D grid: a carries its own hash shard and replicates across b's
+    # shard axis; b symmetrically. The (a, b) pair meets exactly once, in
+    # cell (hash(a) mod s, hash(b) mod s), whose output is ~salt_target².
     a = df.select(*keys, F.col(id_col).alias("a"),
                   *[F.col(p).alias(f"{p}_a") for p in payload],
                   F.pmod(F.xxhash64(id_col), nshards).cast("int")
-                  .alias("__salt"))
+                  .alias("__sa"),
+                  F.explode(F.sequence(F.lit(0), nshards - 1))
+                  .alias("__sb"))
     b = df.select(*keys, F.col(id_col).alias("b"),
                   *[F.col(p).alias(f"{p}_b") for p in payload],
                   F.explode(F.sequence(F.lit(0), nshards - 1))
-                  .alias("__salt"))
-    return (a.join(b, [*keys, "__salt"])
+                  .alias("__sa"),
+                  F.pmod(F.xxhash64(id_col), nshards).cast("int")
+                  .alias("__sb"))
+    return (a.join(b, [*keys, "__sa", "__sb"])
             .filter(F.col("a") < F.col("b"))
-            .drop(*keys, "__salt"))
+            .drop(*keys, "__sa", "__sb"))

@@ -89,6 +89,24 @@ def main() -> int:
         runs[name] = samples
         timings[name] = min(samples)
 
+    # wmh_clusters sub-spans (round-4 VERDICT stretch #8): the most
+    # expensive single headline query mixes the WMH kernel with CC +
+    # clusters — time the two halves separately (kernel span ends at an
+    # eager localCheckpoint of the bands, graph span consumes it) so a
+    # round-over-round swing in the combined number can be attributed
+    # without a manual A/B. Reported OUTSIDE the headline total.
+    import __spark_entry__ as _e
+    from apollo_spark.stages import bags as _bs, cc as _ccs, hashst as _hs
+    _imgs = _e._docs_as_images(_e._docs(spark, SF_DIR))
+    t0 = time.time()
+    _bands = _hs.run(_bs.run(_imgs, _e._FLAGSHIP_CFG),
+                     _e._FLAGSHIP_CFG)[1].localCheckpoint()
+    wmh_kernel_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    _force(_ccs.clusters(_ccs.connected_components(
+        _bands, _e._FLAGSHIP_CFG, all_ids=_imgs)))
+    wmh_graph_sec = round(time.time() - t0, 3)
+
     # Flagship end-to-end pipeline on the synthetic image corpus: the
     # metric the north rule cares about (images/sec through
     # bags->hash->bands->candidates->cc->clusters).
@@ -155,6 +173,10 @@ def main() -> int:
         # both samples preserved here. e2e_pipeline/append stay 1-shot.
         "warmup": True,
         "runs": runs,
+        # attribution aid, not a headline number: wmh_clusters =~
+        # kernel (bags->WMH->bands) + graph (CC + clusters) halves
+        "wmh_clusters_subspans": {"kernel": wmh_kernel_sec,
+                                  "graph": wmh_graph_sec},
     }
     prev = _load_prev_bench()
     if prev:

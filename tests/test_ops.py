@@ -166,7 +166,7 @@ class TestDedup:
         """round-3 VERDICT #3: the shared-shingle candidate join was the
         last unsalted bucketed self-join. With one hot shingle shared by
         120 docs (well under the 1024 df cap), the salted join must (a)
-        carry __salt in the physical join key and (b) return exactly the
+        carry the 2-D salt grid (__sa, __sb) in the physical join key and (b) return exactly the
         C(120,2) verified pairs of the identical-text block."""
         docs = spark.range(500).select(
             F.col("id").alias("doc_id"),
@@ -178,7 +178,7 @@ class TestDedup:
             .alias("text"))
         out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "__salt" in plan
+        assert "__sa" in plan and "__sb" in plan
         got = {(r.a, r.b) for r in out.collect()}
         expect = {(a, b) for a in range(120) for b in range(120) if a < b}
         assert got == expect
@@ -510,14 +510,14 @@ class TestSaltedPairs:
         assert mx <= 4 * target
 
     def test_salt_in_join_key_plan(self, spark):
-        """The physical plan joins on (key, __salt) — the skew shard key is
+        """The physical plan joins on (key, __sa, __sb) — the 2-D skew grid key is
         actually in the shuffle, not just in the code."""
         from apollo_spark.ops.skew import salted_pairs
         df = spark.createDataFrame([(i, 0) for i in range(10)],
                                    "id long, k long")
         plan = salted_pairs(df, ["k"], "id")._jdf.queryExecution() \
             .executedPlan().toString()
-        assert "__salt" in plan
+        assert "__sa" in plan and "__sb" in plan
 
 
 class TestBucketPathParity:

@@ -322,3 +322,30 @@ class TestLegacyFingerprint:
         full = half.unionByName(delta)
         with pytest.raises(ValueError, match="pending"):
             append_images(spark, full, delta, cfg, out)
+
+
+class TestStreamingCadence:
+    def test_append_batches_sustain_two_per_minute(self, spark, cfg,
+                                                   tmp_path):
+        """Round-5 stretch: with the catalog-op batching landed, a
+        micro-batch append must comfortably sustain >= 2 batches/min at
+        sf0.01-ish batch sizes (the r4 fixed overhead capped cadence at
+        ~1/min). Budget is per APPEND batch (the steady-state cost;
+        bootstrap builds the whole base and is excluded). The 30 s bar is
+        ~2x the post-batching measurement at this size, so it fails on an
+        overhead regression, not on box weather."""
+        import time as _t
+        pdf = synth.gen_corpus(500, seed=71)
+        thirds = [pdf.iloc[:300], pdf.iloc[300:400], pdf.iloc[400:]]
+        dfs = [spark.createDataFrame(c.drop(columns=["gt_cluster"]))
+               for c in thirds]
+        out = str(tmp_path / "run")
+        assert apply_batch(spark, dfs[0], cfg, out) == "bootstrap"
+        for d in dfs[1:]:
+            t0 = _t.time()
+            assert apply_batch(spark, d, cfg, out) == "append"
+            assert _t.time() - t0 <= 30.0, "append batch blew the cadence budget"
+        cat = CheckpointCatalog(spark, out, cfg)
+        assert cat.load("images").count() == 500
+        # the batching evidence is in the manifest
+        assert cat._manifest()["catalog_batch"]["metrics_writes"] <= 1

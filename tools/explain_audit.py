@@ -105,7 +105,7 @@ def main() -> int:
     join_keys = p.split("Join cond")[0] if "Join cond" in p else p
     sections.append((
         "salted LSH pair join (hot-key skew: join key = band + salt)", p,
-        [("salt in the join key", "salt" in p),
+        [("salt in the join key", "__sa" in p and "__sb" in p),
          ("no cartesian product", "CartesianProduct" not in p),
          ("b-side replicated via explode(sequence)", "Generate explode" in p
           or "explode" in p)]))
@@ -123,7 +123,7 @@ def main() -> int:
         [("bucket equi-join (no cartesian)", "CartesianProduct" not in p),
          ("join keyed on (tbl, bucket)", "bucket" in p and "tbl" in p),
          ("salt in the candidate join key (hot-bucket skew)",
-          "__salt" in p),
+          "__sa" in p and "__sb" in p),
          ("Arrow-batched bucketing (mapInPandas matmul, no row UDF)",
           ("MapInPandas" in p or "PythonMapInArrow" in p)
           and "BatchEvalPython" not in p)]))
@@ -134,7 +134,7 @@ def main() -> int:
     p = plan_of(ivf)
     sections.append((
         "IVF cell candidates + exact verify (salted cell join)", p,
-        [("salt in the cell join key", "__salt" in p),
+        [("salt in the cell join key", "__sa" in p and "__sb" in p),
          ("no cartesian product", "CartesianProduct" not in p)]))
 
     # 6c. simhash block join (text twin): the round-2 skew gap — now the
@@ -143,7 +143,7 @@ def main() -> int:
     p = plan_of(sh)
     sections.append((
         "simhash Hamming-ball block join (salted)", p,
-        [("salt in the block join key", "__salt" in p),
+        [("salt in the block join key", "__sa" in p and "__sb" in p),
          ("no cartesian product", "CartesianProduct" not in p)]))
 
     # 6d. incremental delta pair-gen: corpus side is a two-column phash
@@ -211,7 +211,7 @@ def main() -> int:
     p = plan_of(ng)
     sections.append((
         "ngram Jaccard shared-shingle join (salted since r4)", p,
-        [("salt in the shingle join key", "__salt" in p),
+        [("salt in the shingle join key", "__sa" in p and "__sb" in p),
          ("no cartesian product", "CartesianProduct" not in p),
          ("df census reused as shard divisor (no second count agg on "
           "the capped table)", p.count("HashAggregate") >= 2)]))
@@ -299,7 +299,7 @@ _ROUND3_NOTES = """\
 **1. One salting device, five joins.** The skew treatment the MinHash pair
 join had in round 2 (`ops/skew.py::salted_pairs`) now also shards the text
 SimHash block join, the phash SimHash block join, and the ANN/IVF candidate
-joins — every bucketed self-join in the engine carries `__salt` in its join
+joins — every bucketed self-join in the engine carries the 2-D salt grid (`__sa`, `__sb`) in its join
 key (sections above assert it). Semantics-free: all oracles unchanged.
 
 **2. ANN bucketing moved to the NumPy-matmul path without losing oracles.**

@@ -108,7 +108,10 @@ def main() -> int:
     from apollo_spark.ops import dedup
     from apollo_spark.session import get_spark
 
-    spark = get_spark("apollo-skew-probe", cores=args.cores)
+    # get_spark disables the UI by default (bench hygiene); the probe
+    # NEEDS the REST API — re-enable it for this session only
+    spark = get_spark("apollo-skew-probe", cores=args.cores,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     probe = StageProbe(spark)
 
