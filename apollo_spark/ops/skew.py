@@ -81,6 +81,18 @@ def salted_pairs(df: DataFrame, keys: Sequence[str], id_col: str,
                   .alias("__sa"),
                   F.pmod(F.xxhash64(id_col), nshards).cast("int")
                   .alias("__sb"))
-    return (a.join(b, [*keys, "__sa", "__sb"])
+    # PIN the strategy to a shuffle join: the salt grid only balances work
+    # if the join actually exchanges on (keys, __sa, __sb). Left to itself
+    # AQE converts this join to broadcast whenever the build side's
+    # MEASURED exchange (upstream of the block/salt explodes, which can
+    # multiply rows 100x+) reads under the 10 MB threshold — and a
+    # broadcast join's task balance is the STREAM side's physical layout,
+    # where a hot cluster is typically co-located (the round-5 480k probe
+    # measured exactly that: one stream task holding the planted 10k-dup
+    # partition ran 302 s against a 3.3 s median while every salted cell
+    # sat unused inside the broadcast map; BASELINE.md round-5 skew
+    # table). shuffle_hash (not merge) — per-cell build sides are bounded
+    # by ~salt_target rows, so no sort is needed on either side.
+    return (a.join(b.hint("shuffle_hash"), [*keys, "__sa", "__sb"])
             .filter(F.col("a") < F.col("b"))
             .drop(*keys, "__sa", "__sb"))

@@ -510,14 +510,21 @@ class TestSaltedPairs:
         assert mx <= 4 * target
 
     def test_salt_in_join_key_plan(self, spark):
-        """The physical plan joins on (key, __sa, __sb) — the 2-D skew grid key is
-        actually in the shuffle, not just in the code."""
+        """The physical plan joins on (key, __sa, __sb) — the 2-D skew grid
+        key is actually in the shuffle, not just in the code — AND the join
+        is pinned to shuffle_hash: the round-5 480k probe measured AQE
+        broadcast-converting this join (build side under 10 MB), which
+        re-serializes the hot bucket onto whichever STREAM task holds its
+        partition (302 s vs 3.3 s median) while the salt grid sits unused
+        inside the broadcast map."""
         from apollo_spark.ops.skew import salted_pairs
         df = spark.createDataFrame([(i, 0) for i in range(10)],
                                    "id long, k long")
         plan = salted_pairs(df, ["k"], "id")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "__sa" in plan and "__sb" in plan
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
 
 
 class TestBucketPathParity:

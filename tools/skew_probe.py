@@ -108,32 +108,46 @@ def main() -> int:
     from apollo_spark.ops import dedup
     from apollo_spark.session import get_spark
 
-    # get_spark disables the UI by default (bench hygiene); the probe
-    # NEEDS the REST API — re-enable it for this session only
-    spark = get_spark("apollo-skew-probe", cores=args.cores,
-                      extra_conf={"spark.ui.enabled": "true"})
-    spark.sparkContext.setLogLevel("ERROR")
-    probe = StageProbe(spark)
-
-    docs = hot_corpus(spark, args.rows, args.hot).localCheckpoint()
-
+    # ONE FRESH SESSION PER QUERY FAMILY: a single shared session
+    # accumulates every query's broadcast variables on the driver heap
+    # (torrent blocks are only GC'd lazily) — a 4-query probe run was
+    # measured dying with "Not enough memory to build and broadcast" on
+    # query 3 while the same query alone passed with 7 GB to spare.
+    # Fresh sessions also keep each query's task timings free of the
+    # previous query's cached/broadcast state (measurement hygiene).
     results = []
+
+    def fresh(name):
+        # get_spark disables the UI by default (bench hygiene); the probe
+        # NEEDS the REST API — re-enable it per-session
+        spark = get_spark(name, cores=args.cores,
+                          extra_conf={"spark.ui.enabled": "true"})
+        spark.sparkContext.setLogLevel("ERROR")
+        return spark, StageProbe(spark), hot_corpus(
+            spark, args.rows, args.hot).localCheckpoint()
+
     # J2: salted LSH-bucket pair join (hot_b bucket at the 512 cap is the
     # largest legal cross product; hot_a routes to linear mode)
+    spark, probe, docs = fresh("skew-probe-lsh")
     bands = dedup.lsh_bands(dedup.minhash_signatures(docs)) \
         .localCheckpoint()
     results.append(probe.measure(
         "candidate_pairs", dedup.candidate_pairs(bands)))
     results.append(probe.measure(
         "hot_bucket_edges_linear", dedup.hot_bucket_edges(bands)))
+    spark.stop()
     # shared-shingle salted join (hot_b shingles at df=512 inside the
     # df<=1024 window; hot_a's are df-capped out by design)
+    spark, probe, docs = fresh("skew-probe-ngram")
     results.append(probe.measure(
         "ngram_jaccard", dedup.ngram_jaccard_pairs(docs, 0.5)))
+    spark.stop()
     # SimHash block join — UNCAPPED exact path: the hot_a block emits all
     # C(hot_a, 2) true pairs; salting must shard them across tasks
+    spark, probe, docs = fresh("skew-probe-simhash")
     results.append(probe.measure(
         "simhash_pairs", dedup.simhash_pairs(docs)))
+    spark.stop()
 
     out = {
         "rows": args.rows, "hot_cluster": args.hot, "hot_at_cap": 512,
