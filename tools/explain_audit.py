@@ -108,7 +108,12 @@ def main() -> int:
         [("salt in the join key", "__sa" in p and "__sb" in p),
          ("no cartesian product", "CartesianProduct" not in p),
          ("b-side replicated via explode(sequence)", "Generate explode" in p
-          or "explode" in p)]))
+          or "explode" in p),
+         # round-5 probe finding: AQE broadcast-converts the salted join
+         # when the build exchange reads <10MB, re-concentrating the hot
+         # bucket on one stream task — the hint pins the shuffle
+         ("join pinned to shuffle_hash (not AQE-broadcast)",
+          "ShuffledHashJoin" in p)]))
 
     # 6. ANN cosine near-dup: bucketed candidates, exact verify — the
     # O(n^2)-row explosion of the exact path is gone. Since r3 the
@@ -124,6 +129,7 @@ def main() -> int:
          ("join keyed on (tbl, bucket)", "bucket" in p and "tbl" in p),
          ("salt in the candidate join key (hot-bucket skew)",
           "__sa" in p and "__sb" in p),
+         ("candidate join pinned to shuffle_hash", "ShuffledHashJoin" in p),
          ("Arrow-batched bucketing (mapInPandas matmul, no row UDF)",
           ("MapInPandas" in p or "PythonMapInArrow" in p)
           and "BatchEvalPython" not in p)]))
@@ -135,6 +141,7 @@ def main() -> int:
     sections.append((
         "IVF cell candidates + exact verify (salted cell join)", p,
         [("salt in the cell join key", "__sa" in p and "__sb" in p),
+         ("cell join pinned to shuffle_hash", "ShuffledHashJoin" in p),
          ("no cartesian product", "CartesianProduct" not in p)]))
 
     # 6c. simhash block join (text twin): the round-2 skew gap — now the
@@ -144,6 +151,7 @@ def main() -> int:
     sections.append((
         "simhash Hamming-ball block join (salted)", p,
         [("salt in the block join key", "__sa" in p and "__sb" in p),
+         ("block join pinned to shuffle_hash", "ShuffledHashJoin" in p),
          ("no cartesian product", "CartesianProduct" not in p)]))
 
     # 6d. incremental delta pair-gen: corpus side is a two-column phash
@@ -212,6 +220,7 @@ def main() -> int:
     sections.append((
         "ngram Jaccard shared-shingle join (salted since r4)", p,
         [("salt in the shingle join key", "__sa" in p and "__sb" in p),
+         ("shingle join pinned to shuffle_hash", "ShuffledHashJoin" in p),
          ("no cartesian product", "CartesianProduct" not in p),
          ("df census reused as shard divisor (no second count agg on "
           "the capped table)", p.count("HashAggregate") >= 2)]))
