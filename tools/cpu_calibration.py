@@ -55,19 +55,32 @@ def throughput(nprocs: int, secs: float = 6.0) -> float:
 
 def measure(pairs=((1, 4),), secs: float = 6.0, trials: int = 2) -> dict:
     """{'1->4': {'eff': .., 'tp_lo': .., 'tp_hi': ..}, ...} — per pair the
-    BEST efficiency over ``trials`` (the ceiling is the machine's best
-    case; transient neighbor load only ever lowers it)."""
+    efficiency implied by the BEST throughput at each level over
+    ``trials`` (the ceiling is the machine's best case; transient
+    neighbor load only ever lowers each side's throughput).
+
+    Selecting the best whole TRIAL by max efficiency — the pre-round-5
+    aggregation — is wrong on a bursty box: a trial whose lo-side probe
+    landed in a neighbor stall has inflated efficiency, so max-eff
+    selection PREFERS corrupted trials (observed: eff 2.8-3.2 when a
+    6-second stall crushed tp_lo to a third of its clean value).
+    Maxing each side independently discards stalls on both sides; a
+    ceiling above 1.0 is still physically impossible (turbo headroom at
+    1 proc can push slightly past parity, never past ~1.1), so the
+    result is capped at 1.0 and the uncapped value kept for audit."""
     out = {}
     for lo, hi in pairs:
-        best = None
+        tps_lo, tps_hi = [], []
         for _ in range(trials):
-            t_lo, t_hi = throughput(lo, secs), throughput(hi, secs)
-            eff = (t_hi / t_lo) / (hi / lo)
-            rec = {"eff": round(eff, 3), "tp_lo": round(t_lo, 1),
-                   "tp_hi": round(t_hi, 1)}
-            if best is None or rec["eff"] > best["eff"]:
-                best = rec
-        out[f"{lo}->{hi}"] = best
+            tps_lo.append(throughput(lo, secs))
+            tps_hi.append(throughput(hi, secs))
+        t_lo, t_hi = max(tps_lo), max(tps_hi)
+        eff = (t_hi / t_lo) / (hi / lo)
+        out[f"{lo}->{hi}"] = {
+            "eff": round(min(eff, 1.0), 3), "eff_uncapped": round(eff, 3),
+            "tp_lo": round(t_lo, 1), "tp_hi": round(t_hi, 1),
+            "tp_lo_trials": [round(t, 1) for t in tps_lo],
+            "tp_hi_trials": [round(t, 1) for t in tps_hi]}
     return out
 
 
