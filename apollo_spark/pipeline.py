@@ -41,6 +41,20 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     does, so its metrics batching (CheckpointCatalog.batched_catalog)
     spans the derived-stage rebuilds performed here."""
     cat = cat or CheckpointCatalog(spark, out_dir, cfg, backend=backend)
+    # One metrics flush for the whole run (round-5): a fresh build performs
+    # ~9 stage writes, and each write-through metrics append is its own
+    # ~0.5-1s driver-blocking job — a serial cost that the 1->4 scaling
+    # measurement pays identically at both levels. Stage data + manifest
+    # completeness stay eager; only telemetry rows are deferred. Nested
+    # entry is a no-op, so the append/streaming paths' outer batches win.
+    with cat.batched_catalog():
+        return _run_stages(spark, images, cfg, cat, extensions=extensions,
+                           evaluate=evaluate, refine=refine)
+
+
+def _run_stages(spark: SparkSession, images: DataFrame,
+                cfg: PipelineConfig, cat: CheckpointCatalog,
+                extensions: bool, evaluate: bool, refine: bool) -> dict:
     out: dict[str, DataFrame] = {}
     timings: dict[str, float] = {}
 
@@ -99,14 +113,23 @@ def run_pipeline(spark: SparkSession, images: DataFrame,
     # cc checkpoints hash-partitioned on the component id (CC_LAYOUT):
     # incremental appends then dynamic-overwrite only delta-touched
     # partitions instead of rewriting the corpus-sized table
+    # the .repartition(64, "p") before each partitioned write routes every
+    # partition VALUE wholly into one task — one file per hive dir instead
+    # of (tasks x 64) small files, and the write's injected
+    # sort-by-partition-col becomes a near-noop per task. The explicit
+    # numPartitions pins the exchange: a bare repartition("p") joins AQE
+    # partition coalescing, which would collapse this small table to 1-2
+    # tasks and serialize the 64-dir write
     stage("cc", lambda: cc_stage.with_cc_partition(
-        cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg),
+        cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg)
+        .repartition(cfg.cc_table_partitions, "p"),
         partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
     # clusters shares the cc table's hash-partitioned layout (keyed on the
     # component rep with the same hash/modulus), so incremental appends
     # dynamic-overwrite only delta-touched partitions of BOTH tables
     stage("clusters", lambda: cc_stage.with_clusters_partition(
-        cc_stage.clusters(out["cc"]), cfg),
+        cc_stage.clusters(out["cc"]), cfg)
+        .repartition(cfg.cc_table_partitions, "p"),
         partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
     if refine:
         from apollo_spark.stages import refine as refine_stage
