@@ -243,6 +243,23 @@ def main() -> int:
           "p#" in p.split("PartitionFilters")[1].split("]")[0]
           if "PartitionFilters" in p else False)]))
 
+    # 12. cc/clusters partitioned WRITE plan (round 5): run_pipeline
+    # repartitions on the hive column with an explicit numPartitions
+    # before writing, so each partition VALUE lands wholly in one task
+    # (one file per dir, near-noop write sort). The explicit count tags
+    # the exchange REPARTITION_BY_NUM, which AQE is forbidden to
+    # coalesce — a bare repartition("p") would collapse this small table
+    # to 1-2 tasks and serialize the 64-dir write.
+    wdf = cc_mod.with_cc_partition(cc_df, cfg) \
+        .repartition(cfg.cc_table_partitions, "p")
+    p = plan_of(wdf)
+    sections.append((
+        "cc checkpoint write (pinned one-file-per-partition exchange)", p,
+        [("hash exchange on the hive partition column",
+          "hashpartitioning(p#" in p),
+         ("numPartitions pinned against AQE coalescing",
+          "REPARTITION_BY_NUM" in p)]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
@@ -261,6 +278,7 @@ def main() -> int:
         lines.append("")
     lines.append(_ROUND2_NOTES)
     lines.append(_ROUND3_NOTES)
+    lines.append(_ROUND5_NOTES)
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print("PLANS.md written;", "ALL PASS" if ok_all else "SOME CHECKS FAILED")
@@ -332,6 +350,38 @@ pass semi-joins the corpus's two-column (image_id, phash) projection down
 to delta-touched buckets before any pair join (section above asserts the
 semi-join and the pruned ReadSchema), and substring fingerprints append
 per delta — no full-corpus re-extraction anywhere in the append path.
+"""
+
+_ROUND5_NOTES = """\
+## Round-5 plan changes
+
+**1. Salted joins pinned to ShuffledHashJoin.** The planted-hot-key probe
+(tools/skew_probe.py, SKEW_PROBE.json) caught AQE broadcast-converting a
+salted pair join whose build-side exchange read <10 MB — re-concentrating
+the hot bucket's entire stream side on ONE task (observed 303.8 s vs a
+3.3 s median, 92×). `ops/skew.py::salted_pairs` now carries a
+`shuffle_hash` hint on both sides; the sections above assert
+ShuffledHashJoin in every salted plan. Side effect: no sort phase, so the
+simhash and ngram walls dropped 264.7→46.4 s and 282→148.6 s at sf0.1.
+
+**2. One-sided salting fixed with a 2-D salt grid.** The same probe showed
+the simhash block join at 8.91× max/median task time: replicating only one
+side shards the hot block's rows but every shard still joins the FULL
+other side of the block. Both sides now carry (`__sa`, `__sb`) from a
+s×s grid — per-cell work ~(block/s)² — and the probe's worst salted join
+fell to 3.45× (bar ~4; SKEW_PROBE.json).
+
+**3. Partitioned checkpoint writes pin their exchange.** Section 12:
+run_pipeline repartitions cc/clusters on the hive column with an explicit
+numPartitions before the write — one file per partition dir instead of
+(tasks × 64) small files, tagged REPARTITION_BY_NUM so AQE cannot
+coalesce the small table to 1-2 tasks and serialize the 64-dir write.
+
+**4. One catalog flush per build/append.** Not a Catalyst property but a
+job-count one: a fresh run_pipeline build batches its ~9 per-stage
+metrics/manifest appends into a single flush (`catalog_batch` in the
+manifest), and the incremental path has done the same since this round's
+append batching (55.6→30.3 s per 1k-row append at sf0.1).
 """
 
 if __name__ == "__main__":
