@@ -44,11 +44,24 @@ from apollo_spark.stages import validate as validate_stage
 
 # ---------------------------------------------------------------- loaders
 
+# Last sf_dir any queries() callable was invoked with. The IVF oracles
+# must train their centroid literals from the SAME sf the Spark queries
+# read (ADVICE r5 #1): oracle_sql() resolves its dir at call time as
+# env override -> this latch -> sf0.01 default, so a gate that runs
+# queries() first at a non-default sf gets a matching codebook instead
+# of a spurious hash mismatch.
+_GATE_SF_DIR: str | None = None
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _GATE_SF_DIR
+    _GATE_SF_DIR = sf_dir
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _GATE_SF_DIR
+    _GATE_SF_DIR = sf_dir
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -542,11 +555,18 @@ def _ann_planes_values() -> str:
 # literals from THAT sf's embeddings table via the Spark-free twin
 # (kmeans_centroids_local: same hash-ordered sample via pure-Python XXH64,
 # same Lloyd kernel, bitwise-identical codebook — parity pinned in
-# tests/test_ops.py). Override for a different gate sf via
-# SPARK_GRAFT_ORACLE_SF; if the table is absent the entries fall back to
-# rows-only instead of erroring.
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF",
-                                "/root/testdata/sf0.01")
+# tests/test_ops.py). The dir is resolved at oracle_sql() CALL time
+# (ADVICE r5 #1): explicit SPARK_GRAFT_ORACLE_SF wins, else the sf_dir
+# the queries() callables were actually invoked with (_GATE_SF_DIR
+# latch), else the contract default sf0.01. If the resolved table is
+# absent the entries fall back to rows-only instead of erroring.
+def _oracle_sf_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_ORACLE_SF")
+    if env:
+        return env
+    if _GATE_SF_DIR is not None:
+        return _GATE_SF_DIR
+    return "/root/testdata/sf0.01"
 
 
 def _centroid_values(n_centroids: int) -> str | None:
@@ -559,7 +579,7 @@ def _centroid_values(n_centroids: int) -> str | None:
     recall gates). A fully non-circular SQL replay of Lloyd iterations
     would prove no more about the ASSIGNMENT math and is omitted
     knowingly (round-4 VERDICT #4)."""
-    path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
     if not os.path.exists(path):
         return None
     cents = similarity.kmeans_centroids_local(path, n_centroids)

@@ -98,18 +98,27 @@ class CheckpointCatalog:
             return
         self._metrics_buf = []
         self._ops_batched = 0
+        # Flush + manifest stamp only on SUCCESSFUL exit (ADVICE r5 #4):
+        # a raise inside the body must propagate unmasked — a secondary
+        # failure in the flush would otherwise replace the original
+        # exception, and a 'catalog_batch' entry would claim a batch for
+        # a run that failed. Telemetry rows buffered before the crash are
+        # intentionally dropped (the docstring's crash note).
         try:
             yield self
-        finally:
-            buf, self._metrics_buf = self._metrics_buf, None
-            ops, self._ops_batched = self._ops_batched, 0
-            if buf:
-                self._write_metrics_rows(buf)
-            m = self._manifest()
-            m["catalog_batch"] = {"ops": ops,
-                                  "metrics_writes": 1 if buf else 0,
-                                  "ts": time.time()}
-            self._save_manifest(m)
+        except BaseException:
+            self._metrics_buf = None
+            self._ops_batched = 0
+            raise
+        buf, self._metrics_buf = self._metrics_buf, None
+        ops, self._ops_batched = self._ops_batched, 0
+        if buf:
+            self._write_metrics_rows(buf)
+        m = self._manifest()
+        m["catalog_batch"] = {"ops": ops,
+                              "metrics_writes": 1 if buf else 0,
+                              "ts": time.time()}
+        self._save_manifest(m)
 
     @staticmethod
     def _fingerprint(config) -> str:

@@ -271,8 +271,13 @@ def cosine_neardup_ivf(emb: DataFrame, threshold: float,
 
     Results are a strict subset of cosine_pairs at the same threshold with
     identical cos values; recall is data-dependent (cross-cell pairs beyond
-    the probe radius are missed) and gated in tests. Rows-only at the
-    driver: a k-means codebook is not SQL-replicable. The cell self-join is
+    the probe radius are missed) and gated in tests. Hash-oracled since r5
+    via CENTROID LITERALS: kmeans_centroids_local (bitwise twin of the
+    Spark trainer — same hash sample, same Lloyd kernel) injects the
+    codebook into the DuckDB oracle as VALUES rows, which then replays
+    cell assignment, candidate generation, and the 6dp cosine verify in
+    SQL; the training math itself stays pytest-pinned (circularity label
+    in __spark_entry__._centroid_values). The cell self-join is
     SALTED with the shared skew device (ops/skew.py, round-2 VERDICT #3) —
     IVF cells on clustered corpora are hot by construction (that is the
     point of the index), so the per-cell cross product must shard."""
@@ -398,7 +403,11 @@ def kmeans_centroids_local(emb_parquet: str, n_centroids: int = 16,
     ids = np.asarray(t["vec_id"], dtype=np.int64)
     h = xxhash64_longs(ids)
     order = np.argsort(h, kind="stable")[:sample]
-    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    # Arrow-side take BEFORE materializing Python objects (ADVICE r5 #3):
+    # only the ``sample`` selected rows are ever converted, so oracle
+    # codebook training stays O(sample·dim) regardless of table size.
+    x = np.asarray(t["embedding"].take(order).to_pylist(),
+                   dtype=np.float64)
     return _kmeans_from_matrix(x, n_centroids, iters, seed)
 
 

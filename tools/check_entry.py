@@ -6,6 +6,7 @@ values. Usage: python tools/check_entry.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -56,6 +57,11 @@ def compare(name, sdf, odf) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle_sql() is called before any query runs, so the gate-sf latch
+    # inside __spark_entry__ is still empty here — pin the oracle dir to
+    # the gate dir explicitly so IVF centroid literals train on the same
+    # table the Spark queries read (ADVICE r5 #1).
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", sf_dir)
     import __spark_entry__ as E
     from apollo_spark.session import get_spark
 
