@@ -59,9 +59,25 @@ def _warmup(spark) -> None:
     _force(spark.range(10_000).selectExpr("sum(id) as s", "count(*) as c"))
 
 
+def _ceiling_probe() -> dict:
+    """Same-day hardware 1->4 scaling ceiling (tools/cpu_calibration.py,
+    best-throughput-per-side selector). Untimed w.r.t. the bench metric;
+    recorded so an e2e/append swing can be attributed to box weather
+    without a hand A/B (round-5 VERDICT #3). Runs in separate processes,
+    so call it while Spark is idle."""
+    try:
+        from tools.cpu_calibration import measure
+        r = measure(pairs=((1, 4),), secs=4.0, trials=2)["1->4"]
+        return {"eff": r["eff"], "tp_lo": r["tp_lo"], "tp_hi": r["tp_hi"]}
+    except Exception as exc:  # probe is evidence, never a bench failure
+        return {"error": str(exc)[:200]}
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from apollo_spark.session import get_spark
+
+    ceiling_before = _ceiling_probe()
 
     spark = get_spark("apollo-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,6 +144,10 @@ def main() -> int:
                            extensions=True, evaluate=False)
         _force(res["clusters"])
         pipeline_sec = time.time() - t0
+        # per-stage breakdown (round-5 VERDICT #3): run_pipeline times its
+        # own stages — surface them so an e2e swing names its stage
+        e2e_stages = {k: round(v, 3)
+                      for k, v in res.get("_timings", {}).items()}
 
         # Incremental append of a 5% delta onto the checkpointed run just
         # built: the O(|delta|) contract made measurable (extension passes
@@ -149,6 +169,8 @@ def main() -> int:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     timings["e2e_pipeline"] = round(pipeline_sec, 3)
+
+    ceiling_after = _ceiling_probe()
 
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
@@ -177,6 +199,15 @@ def main() -> int:
         # kernel (bags->WMH->bands) + graph (CC + clusters) halves
         "wmh_clusters_subspans": {"kernel": wmh_kernel_sec,
                                   "graph": wmh_graph_sec},
+        # per-stage breakdown of the single-shot e2e (round-5 VERDICT #3:
+        # the e2e swung 82->28 s in one day and attributing it took a
+        # session; now any swing names its stage)
+        "e2e_stages": e2e_stages,
+        # same-run hardware 1->4 ceiling (before Spark start / after the
+        # append) — the box-weather context every single-shot number
+        # should be read against
+        "ceiling_before": ceiling_before,
+        "ceiling_after": ceiling_after,
     }
     prev = _load_prev_bench()
     if prev:
