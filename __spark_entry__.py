@@ -587,6 +587,63 @@ def _centroid_values(n_centroids: int) -> str | None:
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents))
 
+def _wmh_clusters_sql() -> str | None:
+    """Signature-literal oracle for the flagship wmh_clusters entry
+    (round-5 VERDICT #3) — the same device as the IVF centroid-literal
+    oracles: the kernel half (bags -> TF-IDF -> Weighted MinHash) runs
+    host-side through oracle.flagship_signatures_local, the BITWISE twin
+    of the distributed chain (parity pinned by pytest at sf0.01), and its
+    output is injected as hex literals; the SQL then replays everything
+    downstream — band slicing (pure byte arithmetic, hasher.py:95-99
+    semantics), bucket assembly, star-edge contraction, min-label CC via
+    recursive reach, the n>=2 cluster filter, and the xxhash64 surrogate
+    cluster_id (host-computed per-id map injected as VALUES; bit-parity
+    of xxhash64_str with Spark's string xxhash64 is pytest-pinned).
+    HONESTY LABEL: the WMH kernel itself is deliberately not replayed in
+    SQL — it is pinned separately (bit-exact batched-vs-dense oracle +
+    hypothesis fuzz, tests/test_wmh.py), circularity documented exactly
+    as with _centroid_values. Returns None when the gate's documents
+    table is unavailable (entry falls back to rows-only)."""
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    from apollo_spark import oracle as _oracle
+    from apollo_spark.core.xxh import xxhash64_str
+    cfg = _FLAGSHIP_CFG
+    sigs = _oracle.flagship_signatures_local(path, cfg)
+    htnum, band_size = cfg.lsh_params()
+    w_hex = band_size * 8 * 2     # band = band_size 8-byte samples, hex
+    sig_rows = ",\n".join(f"('{rid}', '{sig.hex()}')"
+                          for rid, sig in sorted(sigs.items()))
+    xh_rows = ",\n".join(f"('{rid}', {xxhash64_str(rid)})"
+                         for rid in sorted(sigs))
+    return f"""WITH RECURSIVE
+sigs AS (SELECT * FROM (VALUES
+{sig_rows}
+) t(image_id, sig_hex)),
+xh AS (SELECT * FROM (VALUES
+{xh_rows}
+) t(id, xh)),
+bands AS (SELECT image_id, ht,
+                 substring(sig_hex, ht * {w_hex} + 1, {w_hex}) AS band
+          FROM sigs CROSS JOIN
+               (SELECT unnest(range(0, {htnum})) AS ht) hts),
+stats AS (SELECT ht, band, min(image_id) AS rep, count(*) AS n
+          FROM bands GROUP BY ht, band),
+sedge AS (SELECT DISTINCT b.image_id AS a, s.rep AS b
+          FROM bands b JOIN stats s USING (ht, band)
+          WHERE s.n >= 2 AND b.image_id != s.rep),
+edges AS (SELECT a AS src, b AS dst FROM sedge
+          UNION SELECT b, a FROM sedge),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS image_id, min(lab) AS cc_id FROM reach GROUP BY node)
+SELECT xh.xh AS cluster_id, cc.cc_id AS rep, cc.image_id
+FROM cc JOIN xh ON xh.id = cc.cc_id"""
+
+
 _TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
            "string_split(trim(text), ' ') AS tk FROM documents)")
 
@@ -985,5 +1042,10 @@ winnow AS (
 ok AS (SELECT gh FROM winnow GROUP BY gh HAVING count(*) BETWEEN 2 AND 64)
 SELECT w.image_id, (-2)::INTEGER AS hashtable, w.gh
 FROM winnow w JOIN ok USING (gh)"""
+
+    # flagship wmh_clusters via signature literals (round-5 VERDICT #3)
+    _wc = _wmh_clusters_sql()
+    if _wc is not None:
+        o["wmh_clusters"] = _wc
 
     return o

@@ -51,3 +51,66 @@ def xxhash64_longs(values, seed: int = SPARK_SEED) -> np.ndarray:
     hashes (same values as xxhash64_long element-wise)."""
     return np.fromiter((xxhash64_long(int(v), seed) for v in values),
                        dtype=np.int64, count=len(values))
+
+
+def _round(acc: int, val: int) -> int:
+    acc = (acc + val * _P2) & _MASK
+    return (_rotl(acc, 31) * _P1) & _MASK
+
+
+def xxhash64_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
+    """XXH64 of a byte string, matching Spark's ``F.xxhash64(<string
+    column>)`` (which hashes the UTF-8 bytes with seed 42 via
+    ``XXH64.hashUnsafeBytesBlock`` — the standard xxHash64 layout: 32-byte
+    stripes over 4 lanes, then 8-byte words, one 4-byte word, then single
+    bytes). Returns the SIGNED 64-bit value exactly as the Spark column
+    carries it. Lets DuckDB oracles reproduce Spark-side surrogate ids
+    like ``clusters.cluster_id = xxhash64(cc_id)`` by injecting a
+    host-computed (string -> hash) VALUES map. Bit-parity with the JVM
+    pinned by tests/test_core.py::test_xxhash64_bytes_matches_spark."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _MASK
+        for v in (v1, v2, v3, v4):
+            h ^= _round(0, v)
+            h = ((h * _P1) + _P4) & _MASK
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h ^= k
+        h = ((_rotl(h, 27) * _P1) + _P4) & _MASK
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _MASK
+        h = ((_rotl(h, 23) * _P2) + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_str(s: str, seed: int = SPARK_SEED) -> int:
+    """xxhash64_bytes over the UTF-8 encoding — the exact twin of Spark's
+    xxhash64 on a StringType column."""
+    return xxhash64_bytes(s.encode("utf-8"), seed)

@@ -101,3 +101,37 @@ def cluster(images: pd.DataFrame, cfg: PipelineConfig | None = None
     buckets = band_buckets(sigs, cfg)
     comps = ccref.connected_components(buckets.values())
     return comps, ccref.dup_pairs(comps)
+
+
+def docs_as_images_local(docs_parquet: str) -> pd.DataFrame:
+    """Spark-free twin of __spark_entry__._docs_as_images over a
+    documents parquet file: image_id = str(doc_id), caption = text,
+    phash = first-15-hex-digits of md5(text) as int — byte-identical to
+    the Spark adapter's conv(substring(md5(text),1,15),16,10)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table(docs_parquet,
+                         columns=["doc_id", "text"]).to_pandas()
+    return pd.DataFrame({
+        "image_id": docs["doc_id"].astype(str),
+        "phash": [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                  for t in docs["text"]],
+        "caption": docs["text"]})
+
+
+def flagship_signatures_local(docs_parquet: str,
+                              cfg: PipelineConfig) -> dict[str, bytes]:
+    """Spark-free WMH signatures of the flagship documents-as-images
+    corpus — the dense-oracle twin of the distributed
+    bags_stage.run -> hashst.signatures chain, BITWISE identical to the
+    Spark blobs (pinned at sf0.001 by
+    tests/test_core.py::test_flagship_signature_parity). This
+    is what the wmh_clusters DuckDB oracle calls to inject signatures as
+    hex literals, the same device as the IVF centroid-literal oracles:
+    the kernel half stays pytest-pinned, the SQL replays everything
+    downstream of it (band slicing -> buckets -> star edges -> CC ->
+    clusters)."""
+    images = docs_as_images_local(docs_parquet)
+    bags = tfidf_bags(extract_bags(images, cfg), cfg)
+    return signatures(bags, cfg)

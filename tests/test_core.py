@@ -267,3 +267,48 @@ def test_xxhash64_long_matches_spark(spark):
     assert all(got[v] == xxhash64_long(v) for v in vals)
     assert np.array_equal(xxhash64_longs(np.array(vals, dtype=np.int64)),
                           np.array([got[v] for v in vals]))
+
+
+def test_xxhash64_bytes_matches_spark(spark):
+    """Bit-parity of the pure-Python XXH64 over byte strings with Spark's
+    xxhash64 on StringType — the device that lets the wmh_clusters DuckDB
+    oracle reproduce the Spark-side surrogate cluster_id
+    (xxhash64(cc_id)) via a host-computed VALUES map. Covers every code
+    path: empty, tail-byte-only, 4-byte word, 8-byte words, and the
+    >=32-byte 4-lane stripe loop, plus multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.core.xxh import xxhash64_str
+    vals = ["", "a", "0", "123", "abc", "abcd", "abcdefg", "exactly8",
+            "nine ch 9", "sixteen sixteen!", "a" * 31, "b" * 32, "c" * 33,
+            "d" * 100, "doc_4711", "ünïcødé ✓",
+            *[str(i) for i in range(0, 2000, 97)]]
+    df = spark.createDataFrame([(v,) for v in vals], "v string") \
+        .select("v", F.xxhash64("v").alias("h"))
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert all(got[v] == xxhash64_str(v) for v in vals)
+
+
+def test_flagship_signature_parity(spark):
+    """The Spark-free flagship chain (oracle.flagship_signatures_local:
+    pandas docs-as-images adapter -> TF-IDF bags -> dense WMH) emits
+    BITWISE-identical signature blobs to the distributed
+    bags_stage.run -> hashst.signatures chain on the driver's sf0.001
+    documents corpus — the contract the wmh_clusters signature-literal
+    oracle rests on (__spark_entry__._wmh_clusters_sql): with identical
+    blobs, band slicing is pure byte arithmetic and everything downstream
+    replays in SQL."""
+    import __spark_entry__ as e
+    from apollo_spark import oracle
+    from apollo_spark.stages import bags as bags_stage, hashst
+
+    sf = "/root/testdata/sf0.001"
+    cfg = e._FLAGSHIP_CFG
+    images = e._docs_as_images(e._docs(spark, sf))
+    sigs_df, _ = hashst.run(bags_stage.run(images, cfg), cfg)
+    spark_sigs = {r["image_id"]: bytes(r["sig"])
+                  for r in sigs_df.collect()}
+    host_sigs = oracle.flagship_signatures_local(
+        f"{sf}/documents.parquet", cfg)
+    assert set(spark_sigs) == set(host_sigs)
+    assert all(spark_sigs[k] == host_sigs[k] for k in host_sigs)
