@@ -587,6 +587,56 @@ def _centroid_values(n_centroids: int) -> str | None:
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents))
 
+_SIG_PARTS_CACHE: dict[str, tuple | None] = {}
+
+
+def _flagship_sig_parts() -> tuple[str, str, int, int] | None:
+    """(sig VALUES rows, xxhash VALUES rows, htnum, band hex width) for
+    the gate sf's flagship corpus, or None when its documents table is
+    absent. Memoized per resolved dir — oracle_sql() builds two SQL
+    strings from the same literals (wmh_clusters + wmh_signature_census)
+    and the dense host-side WMH run should happen once."""
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    if path in _SIG_PARTS_CACHE:
+        return _SIG_PARTS_CACHE[path]
+    if not os.path.exists(path):
+        _SIG_PARTS_CACHE[path] = None
+        return None
+    from apollo_spark import oracle as _oracle
+    from apollo_spark.core.xxh import xxhash64_str
+    cfg = _FLAGSHIP_CFG
+    sigs = _oracle.flagship_signatures_local(path, cfg)
+    htnum, band_size = cfg.lsh_params()
+    w_hex = band_size * 8 * 2     # band = band_size 8-byte samples, hex
+    sig_rows = ",\n".join(f"('{rid}', '{sig.hex()}')"
+                          for rid, sig in sorted(sigs.items()))
+    xh_rows = ",\n".join(f"('{rid}', {xxhash64_str(rid)})"
+                         for rid in sorted(sigs))
+    parts = (sig_rows, xh_rows, htnum, w_hex)
+    _SIG_PARTS_CACHE[path] = parts
+    return parts
+
+
+def _wmh_census_sql() -> str | None:
+    """A4 census oracle from the same signature literals: per-hashtable
+    band-row counts (every doc contributes one row per hashtable, so this
+    pins the hex slicing width/count against the Spark posexplode)."""
+    parts = _flagship_sig_parts()
+    if parts is None:
+        return None
+    sig_rows, _, htnum, w_hex = parts
+    return f"""WITH
+sigs AS (SELECT * FROM (VALUES
+{sig_rows}
+) t(image_id, sig_hex)),
+bands AS (SELECT image_id, ht,
+                 substring(sig_hex, ht * {w_hex} + 1, {w_hex}) AS band
+          FROM sigs CROSS JOIN
+               (SELECT unnest(range(0, {htnum})) AS ht) hts)
+SELECT ht::INTEGER AS hashtable, count(*)::BIGINT AS n_bands
+FROM bands GROUP BY ht"""
+
+
 def _wmh_clusters_sql() -> str | None:
     """Signature-literal oracle for the flagship wmh_clusters entry
     (round-5 VERDICT #3) — the same device as the IVF centroid-literal
@@ -604,19 +654,10 @@ def _wmh_clusters_sql() -> str | None:
     hypothesis fuzz, tests/test_wmh.py), circularity documented exactly
     as with _centroid_values. Returns None when the gate's documents
     table is unavailable (entry falls back to rows-only)."""
-    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
-    if not os.path.exists(path):
+    parts = _flagship_sig_parts()
+    if parts is None:
         return None
-    from apollo_spark import oracle as _oracle
-    from apollo_spark.core.xxh import xxhash64_str
-    cfg = _FLAGSHIP_CFG
-    sigs = _oracle.flagship_signatures_local(path, cfg)
-    htnum, band_size = cfg.lsh_params()
-    w_hex = band_size * 8 * 2     # band = band_size 8-byte samples, hex
-    sig_rows = ",\n".join(f"('{rid}', '{sig.hex()}')"
-                          for rid, sig in sorted(sigs.items()))
-    xh_rows = ",\n".join(f"('{rid}', {xxhash64_str(rid)})"
-                         for rid in sorted(sigs))
+    sig_rows, xh_rows, htnum, w_hex = parts
     return f"""WITH RECURSIVE
 sigs AS (SELECT * FROM (VALUES
 {sig_rows}
@@ -1047,5 +1088,12 @@ FROM winnow w JOIN ok USING (gh)"""
     _wc = _wmh_clusters_sql()
     if _wc is not None:
         o["wmh_clusters"] = _wc
+
+    # same literals also oracle the per-hashtable band census (A4): the
+    # Spark query is groupBy(hashtable).count() over the flagship bands,
+    # which the injected signatures reproduce by hex band slicing
+    _wcen = _wmh_census_sql()
+    if _wcen is not None:
+        o["wmh_signature_census"] = _wcen
 
     return o
