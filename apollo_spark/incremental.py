@@ -179,7 +179,24 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
     """append_images body, run inside cat.batched_catalog() so the ~10
     per-stage metrics appends flush as ONE job (round-4 VERDICT #3: each
     was its own ~0.5-1s driver-blocking job — pure fixed overhead that
-    capped streaming micro-batch cadence)."""
+    capped streaming micro-batch cadence).
+
+    The returned dict carries ``_append_timings`` (phase -> seconds for
+    the append-specific work: fingerprint/delta_stages/extensions/
+    inc_cc/cc_write) alongside the trailing run_pipeline's own
+    ``_timings`` — same attribution device as bench.py's e2e_stages
+    (round-5 VERDICT #3): a swing in incremental_append_sec should name
+    its phase, not cost a manual A/B session."""
+    import time as _time
+    _t0 = _time.time()
+    _phases: dict[str, float] = {}
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        _phases[phase] = round(now - _t0, 3)
+        _t0 = now
+
     vocab = cat.load("vocab")
     ndocs = int(cat.stage_info("vocab")["ndocs"])
 
@@ -192,6 +209,7 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
     delta_id, content_fp, legacy = delta_fingerprint(new_images)
     delta_id = cat.resolve_delta_id(delta_id, legacy)
     cat.begin_delta(delta_id, content_fp, kind="append")
+    _mark("fingerprint")
 
     feats = bags_stage.extract_features(new_images, cfg)
     delta_bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg) \
@@ -205,6 +223,7 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
         cat.append("images", new_images)
     if all_images is None:
         all_images = cat.load("images")
+    _mark("delta_stages")
     new_pairs = delta_fp = None
     if extensions and cat.is_complete("simhash_pairs") \
             and cat.is_complete("substring_fp"):
@@ -224,6 +243,7 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
             .localCheckpoint()
         if delta_fp.take(1):
             cat.append("substring_fp", delta_fp)
+    _mark("extensions")
 
     # incremental CC (stages/cc.incremental_components): warm-start from
     # the previous fixpoint, iterating ONLY over delta-touched buckets and
@@ -257,6 +277,7 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
             cc_stage.incremental_components_parts(
                 old_cc, cc_stage.star_edges(memb),
                 new_images.select("image_id"), cfg)
+        _mark("inc_cc")
         cat.reset([s for s in DERIVED_STAGES])
         if cat.stage_info("cc").get("cc_layout") == cc_stage.CC_LAYOUT:
             # O(affected + |delta|) IO, two writes:
@@ -315,7 +336,10 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
     else:
         cat.reset([s for s in DERIVED_STAGES] + ["cc", "clusters"])
     cat.commit_delta(delta_id)
+    _mark("cc_write")
     from apollo_spark.pipeline import run_pipeline
-    return run_pipeline(spark, all_images, cfg, out_dir,
-                        extensions=extensions, refine=refine,
-                        evaluate=evaluate, backend=backend, cat=cat)
+    out = run_pipeline(spark, all_images, cfg, out_dir,
+                       extensions=extensions, refine=refine,
+                       evaluate=evaluate, backend=backend, cat=cat)
+    out["_append_timings"] = _phases
+    return out

@@ -166,6 +166,12 @@ def main() -> int:
         res2 = append_images(spark, full, delta, PipelineConfig(), out_dir)
         _force(res2["clusters"])
         append_sec = time.time() - t0
+        # phase breakdown of the append (same attribution device as
+        # e2e_stages): append-specific phases, plus the trailing
+        # run_pipeline's stage loads collapsed to one number
+        append_stages = dict(res2.get("_append_timings", {}))
+        append_stages["trailing_pipeline"] = round(
+            sum(res2.get("_timings", {}).values()), 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     timings["e2e_pipeline"] = round(pipeline_sec, 3)
@@ -203,6 +209,7 @@ def main() -> int:
         # the e2e swung 82->28 s in one day and attributing it took a
         # session; now any swing names its stage)
         "e2e_stages": e2e_stages,
+        "append_stages": append_stages,
         # same-run hardware 1->4 ceiling (before Spark start / after the
         # append) — the box-weather context every single-shot number
         # should be read against
