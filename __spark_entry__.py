@@ -282,21 +282,36 @@ def _stream_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _query_by_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8 file-mode query (reference query.py:22-36 + hasher.py:208-234):
     hash a NEW image against the corpus vocabulary, probe its bands,
-    re-rank by sparse weighted Jaccard. Rows-only (WMH kernel inside)."""
-    from apollo_spark import synth
+    re-rank by sparse weighted Jaccard. Runs on the gate's
+    documents-as-images corpus with the flagship config (round 6 — was
+    synth-corpus rows-only), which lets the DuckDB oracle replay the
+    probe + re-rank from signature/weight literals
+    (_query_by_image_sql): the query doc is the min-image_id corpus row
+    re-labeled 'query-new', so every input is gate-deterministic."""
     from apollo_spark.stages import query as query_stage
-    cfg = PipelineConfig()
-    images = spark.read.parquet(synth.cached_corpus_path(300)) \
-        .drop("gt_cluster")
+    cfg = _FLAGSHIP_CFG
+    images = _docs_as_images(_docs(spark, sf_dir))
     feats = bags_stage.extract_features(images, cfg)
     vocab = bags_stage.vocab_table(feats, cfg).localCheckpoint()
     ndocs = images.count()
     bags = bags_stage.weight_bags(feats, vocab, ndocs, cfg).localCheckpoint()
     _, bands = hashst.run(bags, cfg)
-    qrow = images.orderBy("image_id").limit(1) \
+    bands = bands.localCheckpoint()
+    # query source = the min image_id inside any MULTI-member bucket, so
+    # the probe returns near-dup candidates and the re-rank actually
+    # ranks (the global min id is typically a singleton -> a 1-row
+    # self-match result); falls back to the global min on a corpus with
+    # no collisions. Deterministic from bands on both engines — the
+    # oracle recomputes it from the bitwise-identical host bands.
+    qsrc = (bands.groupBy("hashtable", "band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("image_id").alias("m"))
+            .filter("n >= 2").agg(F.min("m")).first()[0])
+    qrow = (images.filter(F.col("image_id") == qsrc)
+            if qsrc is not None else images.orderBy("image_id").limit(1)) \
         .withColumn("image_id", F.lit("query-new"))
     return (query_stage.query_image(qrow, vocab, ndocs,
-                                    bands.localCheckpoint(), bags, cfg)
+                                    bands, bags, cfg)
             .select("image_id", F.round("sim", 6).alias("sim")))
 
 
@@ -635,6 +650,71 @@ bands AS (SELECT image_id, ht,
                (SELECT unnest(range(0, {htnum})) AS ht) hts)
 SELECT ht::INTEGER AS hashtable, count(*)::BIGINT AS n_bands
 FROM bands GROUP BY ht"""
+
+
+def _query_by_image_sql() -> str | None:
+    """H8 file-mode query oracle from the same literals family: corpus
+    bands replay by hex slicing of the signature literals, the query
+    doc's bands come from its host-computed signature
+    (oracle.flagship_query_local — min-image_id corpus row weighted
+    against the corpus vocabulary, dense WMH kernel, pytest-pinned
+    parity), and the band probe + sparse weighted-Jaccard re-rank
+    (sum-min / (Wc + Wq - sum-min), 6dp grid) replay entirely in SQL
+    over the float32-exact weight literals. HONESTY LABEL: the WMH and
+    weighting kernels stay host-side/pytest-pinned as with
+    _wmh_clusters_sql; the oracle verifies probing, candidate
+    generation, and the re-rank math."""
+    parts = _flagship_sig_parts()
+    if parts is None:
+        return None
+    sig_rows, _, htnum, w_hex = parts
+    from apollo_spark import oracle as _oracle
+    from apollo_spark.core.wmh import band_slices
+    cfg = _FLAGSHIP_CFG
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    corpus_bags, qbag, qsig, _ndocs = _oracle.flagship_query_local(
+        path, cfg)
+    _, band_size = cfg.lsh_params()
+    qband_rows = ",\n".join(
+        f"({ht}, '{b.hex()}')"
+        for ht, b in enumerate(band_slices(qsig, htnum, band_size)))
+    cbag_rows = ",\n".join(
+        f"('{r.image_id}', {int(r.feat_hash)}, {float(r.weight)!r})"
+        for r in corpus_bags.itertuples())
+    qbag_rows = ",\n".join(
+        f"({int(r.feat_hash)}, {float(r.weight)!r})"
+        for r in qbag.itertuples())
+    wq = repr(float(qbag["weight"].to_numpy("float64").sum()))
+    return f"""WITH
+sigs AS (SELECT * FROM (VALUES
+{sig_rows}
+) t(image_id, sig_hex)),
+bands AS (SELECT image_id, ht,
+                 substring(sig_hex, ht * {w_hex} + 1, {w_hex}) AS band
+          FROM sigs CROSS JOIN
+               (SELECT unnest(range(0, {htnum})) AS ht) hts),
+qb AS (SELECT * FROM (VALUES
+{qband_rows}
+) t(ht, band)),
+cand AS (SELECT DISTINCT b.image_id
+         FROM bands b JOIN qb ON b.ht = qb.ht AND b.band = qb.band),
+cbag AS (SELECT * FROM (VALUES
+{cbag_rows}
+) t(image_id, feat_hash, w)),
+qbag AS (SELECT * FROM (VALUES
+{qbag_rows}
+) t(feat_hash, wq)),
+inter AS (SELECT cb.image_id, sum(least(cb.w, q.wq)) AS im
+          FROM cand c JOIN cbag cb ON cb.image_id = c.image_id
+          JOIN qbag q ON q.feat_hash = cb.feat_hash
+          GROUP BY cb.image_id),
+csum AS (SELECT cb.image_id, sum(cb.w) AS wc
+         FROM cand c JOIN cbag cb ON cb.image_id = c.image_id
+         GROUP BY cb.image_id)
+SELECT s.image_id,
+       round(coalesce(i.im, 0) / (s.wc + {wq} - coalesce(i.im, 0)), 6)
+         AS sim
+FROM csum s LEFT JOIN inter i ON i.image_id = s.image_id"""
 
 
 def _wmh_clusters_sql() -> str | None:
@@ -1095,5 +1175,10 @@ FROM winnow w JOIN ok USING (gh)"""
     _wcen = _wmh_census_sql()
     if _wcen is not None:
         o["wmh_signature_census"] = _wcen
+
+    # H8 file-mode query replayed from signature + weight literals
+    _wq = _query_by_image_sql()
+    if _wq is not None:
+        o["query_by_image"] = _wq
 
     return o

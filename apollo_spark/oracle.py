@@ -120,6 +120,48 @@ def docs_as_images_local(docs_parquet: str) -> pd.DataFrame:
         "caption": docs["text"]})
 
 
+def flagship_query_local(docs_parquet: str, cfg: PipelineConfig
+                         ) -> tuple[pd.DataFrame, pd.DataFrame, bytes, int]:
+    """Spark-free twin of the H8 file-mode query over the flagship
+    documents-as-images corpus: (corpus bags, query bag, query signature
+    blob, ndocs). The query doc is the corpus row with the MIN image_id,
+    re-labeled 'query-new' and weighted against the corpus vocabulary
+    (stages/bags.tfidf_with_vocab semantics: join to the saved df table,
+    log-tf-log-idf x namespace multiplier, weight>0, reference
+    hasher.py:208-234 / query.py:47-56). Feeds the query_by_image DuckDB
+    oracle: corpus bands replay from signature literals, the query's
+    bands from this signature, and the sparse weighted-Jaccard re-rank
+    replays in SQL over the weight literals. Bitwise parity of the
+    corpus half is pinned by test_flagship_signature_parity; the query
+    bag reuses the identical weighting kernel on one row."""
+    images = docs_as_images_local(docs_parquet)
+    feats = extract_bags(images, cfg)
+    corpus_bags = tfidf_bags(feats, cfg)
+    ndocs = int(feats["image_id"].nunique())
+    # query source = min image_id inside any multi-member band bucket
+    # (mirrors the Spark entry: exercises the re-rank on actual near-dup
+    # candidates); global-min fallback on a collision-free corpus
+    sigs = signatures(corpus_bags, cfg)
+    multi = [min(ids) for ids in band_buckets(sigs, cfg).values()
+             if len(ids) >= 2]
+    qid_src = min(multi) if multi else sorted(images["image_id"])[0]
+    q = feats[feats["image_id"] == qid_src].copy()
+    dfmap = feats.groupby("feature")["image_id"].nunique().rename("df")
+    q = q.merge(dfmap, on="feature")
+    q = q[q["df"] >= cfg.min_docfreq]
+    w = extractors.log_tf_log_idf(q["df"].to_numpy(np.float64),
+                                  q["tf"].to_numpy(np.float64), ndocs)
+    mult = np.where(q["feature"].str.startswith(extractors.PHASH_NS),
+                    cfg.phash_weight, cfg.caption_weight)
+    qbag = pd.DataFrame({
+        "image_id": "query-new",
+        "feat_hash": wmh.feature_hash_series(q["feature"]),
+        "weight": (w * mult).astype(np.float32)})
+    qbag = qbag[qbag["weight"] > 0].reset_index(drop=True)
+    qsig = signatures(qbag, cfg)["query-new"]
+    return corpus_bags, qbag, qsig, ndocs
+
+
 def flagship_signatures_local(docs_parquet: str,
                               cfg: PipelineConfig) -> dict[str, bytes]:
     """Spark-free WMH signatures of the flagship documents-as-images
