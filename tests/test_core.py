@@ -312,3 +312,56 @@ def test_flagship_signature_parity(spark):
         f"{sf}/documents.parquet", cfg)
     assert set(spark_sigs) == set(host_sigs)
     assert all(spark_sigs[k] == host_sigs[k] for k in host_sigs)
+
+
+def test_flagship_query_parity(spark):
+    """The Spark-free query twin (oracle.flagship_query_local) picks the
+    SAME query doc, produces bitwise-identical weights, and its dense-
+    kernel signature slices into the same bands the Spark query path
+    probes with — the contract behind the query_by_image literal oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from apollo_spark import oracle
+    from apollo_spark.core.wmh import band_slices
+    from apollo_spark.stages import bags as bags_stage, hashst
+
+    sf = "/root/testdata/sf0.001"
+    cfg = e._FLAGSHIP_CFG
+    images = e._docs_as_images(e._docs(spark, sf))
+    feats = bags_stage.extract_features(images, cfg)
+    vocab = bags_stage.vocab_table(feats, cfg).localCheckpoint()
+    ndocs = images.count()
+    bands = hashst.run(
+        bags_stage.weight_bags(feats, vocab, ndocs, cfg), cfg)[1] \
+        .localCheckpoint()
+    qsrc = (bands.groupBy("hashtable", "band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("image_id").alias("m"))
+            .filter("n >= 2").agg(F.min("m")).first()[0])
+    corpus_bags, qbag, qsig, ndocs_local = oracle.flagship_query_local(
+        f"{sf}/documents.parquet", cfg)
+    assert ndocs_local == ndocs
+    # same query doc (host replays the min-multi-bucket-member selection)
+    qrow = images.filter(F.col("image_id") == qsrc) \
+        .withColumn("image_id", F.lit("query-new"))
+    qfeats = bags_stage.extract_features(qrow, cfg)
+    qbags_spark = bags_stage.tfidf_with_vocab(qfeats, vocab, ndocs, cfg)
+    # Spark carries feat_hash as signed int32, the host twin as uint32 —
+    # same 32 bits (the literal oracle is internally consistent either
+    # way); normalize for the comparison
+    got = {int(np.uint32(r["feat_hash"])): np.float32(r["weight"])
+           for r in qbags_spark.collect()}
+    want = {int(np.uint32(r.feat_hash)): np.float32(r.weight)
+            for r in qbag.itertuples()}
+    assert got == want
+    # host signature slices to the same bands Spark probes with
+    _, qbands_spark = hashst.run(qbags_spark.localCheckpoint(), cfg)
+    spark_bands = {(r["hashtable"], bytes(r["band"]))
+                   for r in qbands_spark.collect()}
+    htnum, band_size = cfg.lsh_params()
+    host_bands = {(ht, b)
+                  for ht, b in enumerate(band_slices(qsig, htnum,
+                                                     band_size))}
+    assert spark_bands == host_bands
