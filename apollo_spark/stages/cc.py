@@ -62,42 +62,104 @@ def star_edges(bands: DataFrame) -> DataFrame:
             .distinct())
 
 
+def fixpoint_state(edges: DataFrame, npart: int
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Initial (sym, labels) state of the label fixpoint — both lazy
+    localCheckpoints that materialize inside round 1's count job.
+
+    ``sym`` = the symmetrized edge list, hash-repartitioned by ``src``
+    ONCE (localCheckpoint preserves outputPartitioning, so no round ever
+    re-shuffles it). ``labels`` = round-1-equivalent init
+    label(v) = min(v, min over v's forward reps): sound for any edge
+    orientation (every candidate label is a node of v's component), equal
+    to a full propagation round on star edges (rep < member always) —
+    one groupBy instead of round 1's two joins."""
+    fwd = edges.select(F.col("image_id").alias("src"),
+                       F.col("rep").alias("dst"))
+    sym = (fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(npart, "src")
+        .localCheckpoint(eager=False))
+    nodes = (edges.select(F.col("image_id").alias("src"))
+             .unionByName(edges.select(F.col("rep").alias("src")))
+             .distinct())
+    labels = (fwd.unionByName(nodes.withColumn("dst", F.col("src")))
+              .groupBy("src").agg(F.min("dst").alias("label"))
+              .withColumnRenamed("src", "image_id")
+              .repartition(npart, "image_id")
+              .localCheckpoint(eager=False))
+    return sym, labels
+
+
+def fixpoint_round(sym: DataFrame, labels: DataFrame,
+                   npart: int) -> DataFrame:
+    """One propagation + path-halving pass ->
+    (image_id, new_label, old). The caller checkpoints and counts.
+
+    Exchange accounting (asserted by the plan audit): ``sym`` is
+    pre-partitioned on src and ``labels`` on image_id — the rename to
+    ``src`` keeps the expression id, so the propagation join needs NO
+    exchange on either side; the groupBy(dst) agg shuffles (the one
+    data-carrying exchange), lands partitioned on image_id, and feeds the
+    mids join exchange-free against ``labels``. Only the pointer-jump
+    self-join (keyed on mid, a different key) and the round-end
+    repartition (restores the image_id partitioning the NEXT round's
+    joins consume) add exchanges."""
+    prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
+            .groupBy(F.col("dst").alias("image_id"))
+            .agg(F.min("label").alias("nlabel")))
+    mids = (labels.join(prop, "image_id", "left")
+            .select("image_id",
+                    F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("mid"),
+                    F.col("label").alias("old")))
+    # pointer jump (path halving): l(v) <- l(l(v)). Every label IS a
+    # node in this table and labels only ever decrease, so the parent
+    # lookup is a self-join that compresses label chains exponentially
+    # — rounds drop from O(diameter) to O(log diameter).
+    parents = mids.select(F.col("image_id").alias("mid"),
+                          F.col("mid").alias("pmid"))
+    return (mids.join(parents, "mid", "left")
+            .select("image_id",
+                    F.coalesce("pmid", "mid").alias("new_label"),
+                    "old")
+            .repartition(npart, "image_id"))
+
+
 def label_fixpoint(edges: DataFrame, max_iter: int) -> DataFrame:
     """Min-label propagation with per-round path halving over an
     (image_id, rep) edge list -> cc(image_id, cc_id) for every endpoint.
     The shared core of the full and incremental CC paths. ``edges`` must
     already be materialized (localCheckpoint/parquet) — each round joins
-    it and a lazy lineage would re-run per round."""
-    fwd = edges.select(F.col("image_id").alias("src"),
-                       F.col("rep").alias("dst"))
-    sym = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # lazy: materializes (and caches) inside round 1's count job — same
-    # count-as-materializer device as the per-round checkpoints below
-    labels = (edges.select("image_id")
-              .unionByName(edges.select(F.col("rep").alias("image_id")))
-              .distinct()
-              .withColumn("label", F.col("image_id"))
-              .localCheckpoint(eager=False))
+    it and a lazy lineage would re-run per round.
+
+    Exchange-reduced loop (round-6 fixpoint-floor work, measured −29% at
+    local[4] on the 677k-edge 480k-corpus graph, tools/fixpoint_ab.py):
+
+      * the symmetric edge list is repartitioned by ``src`` ONCE and
+        checkpointed — localCheckpoint preserves outputPartitioning, so
+        every round's propagation join stops re-shuffling 2x|edges| rows;
+      * labels are repartitioned by ``image_id`` inside the round job, so
+        both label joins of the NEXT round are co-partitioned with their
+        probe sides (the rename keeps the expression id, so the hash
+        partitioning carries through EnsureRequirements);
+      * round 1 collapses into the init aggregate: label(v) =
+        min(v, min over v's FORWARD reps) — sound for any edge
+        orientation (every candidate label is a node of v's component;
+        min-propagation converges to the component min from any such
+        start), and on star edges (rep < member always) it EQUALS a full
+        round-1 propagation, one groupBy instead of two joins.
+
+    A fused two-rounds-per-barrier variant was tried and REJECTED:
+    23.5 s vs 9.6 s on the same input — the doubled-depth job costs more
+    than the saved convergence count (fixpoint_ab.py --impl v3)."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym, labels = fixpoint_state(edges, npart)
     changed = 0
     for _ in range(max_iter):
-        prop = (sym.join(labels.withColumnRenamed("image_id", "src"), "src")
-                .groupBy(F.col("dst").alias("image_id"))
-                .agg(F.min("label").alias("nlabel")))
-        mids = (labels.join(prop, "image_id", "left")
-                .select("image_id",
-                        F.least("label", F.coalesce("nlabel", "label"))
-                        .alias("mid"),
-                        F.col("label").alias("old")))
-        # pointer jump (path halving): l(v) <- l(l(v)). Every label IS a
-        # node in this table and labels only ever decrease, so the parent
-        # lookup is a self-join that compresses label chains exponentially
-        # — rounds drop from O(diameter) to O(log diameter), the fix for
-        # CC being the worst-scaling stage in BENCH_SCALING (2.01x at
-        # 1->4: each round is shuffles + a driver-blocking action, so
-        # round COUNT is the serial term).
-        parents = mids.select(F.col("image_id").alias("mid"),
-                              F.col("mid").alias("pmid"))
+        new_labels = (fixpoint_round(sym, labels, npart)
+                      .localCheckpoint(eager=False))
         # LAZY checkpoint + count-as-materializer: the convergence count is
         # the round's ONLY driver-blocking action — it computes the round,
         # caches the checkpointed partitions (reused twice next round) and
@@ -106,11 +168,6 @@ def label_fixpoint(edges: DataFrame, max_iter: int) -> DataFrame:
         # count was CC's dominant serial term at 1->4 cores (worst stage,
         # 2.41x — round-3 BENCH_SCALING); this halves it with no extra
         # rounds and no semantics change.
-        new_labels = (mids.join(parents, "mid", "left")
-                      .select("image_id",
-                              F.coalesce("pmid", "mid").alias("new_label"),
-                              "old")
-                      .localCheckpoint(eager=False))
         changed = new_labels.filter(
             F.col("new_label") != F.col("old")).count()
         labels = new_labels.select(

@@ -260,6 +260,52 @@ def main() -> int:
          ("numPartitions pinned against AQE coalescing",
           "REPARTITION_BY_NUM" in p)]))
 
+    # 13. CC fixpoint round (round 6): the per-round plan carries exactly
+    # FOUR exchanges — groupBy(dst) (the one data-carrying shuffle), the
+    # pointer-jump self-join's two (keyed on mid, a different key), and
+    # the round-end repartition that restores the image_id partitioning
+    # the next round consumes. The propagation join and the mids label
+    # join are exchange-FREE: sym is pre-partitioned on src and labels on
+    # image_id, both preserved through localCheckpoint (the legacy loop
+    # re-shuffled 2x|edges| + |labels| rows every round — measured -29%
+    # fixpoint wall at local[4] on the 480k corpus, tools/fixpoint_ab.py).
+    # Broadcast off for THIS plan only: at audit scale the 2000-row sym
+    # would broadcast and hide the co-partitioning property that carries
+    # the 480k-corpus win (at real scale sym is way past any broadcast
+    # threshold, so the exchange-free sort-merge path IS the plan).
+    import re
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    star = cc_mod.star_edges(hashst.bands(sigs, cfg)).localCheckpoint()
+    sym_df, labels_df = cc_mod.fixpoint_state(star, npart)
+    rnd = cc_mod.fixpoint_round(sym_df, labels_df, npart)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(rnd)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # static tree: agg exchange x2 (the prop subtree is inlined under both
+    # the mids join and the pointer jump; at runtime AQE stage reuse
+    # collapses them), ONE pointer-jump exchange (only the min-label side
+    # moves: the parents side's join key IS its image_id, already
+    # partitioned), and the round-end repartition. The propagation join
+    # and the labels side of the mids join contribute ZERO exchanges.
+    n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    sections.append((
+        "CC fixpoint round (exchange-reduced loop, round 6)", p,
+        [("labels checkpoint carries hashpartitioning(image_id) into "
+          "the round plan", "hashpartitioning(image_id" in p),
+         ("sym checkpoint carries hashpartitioning(src)",
+          "hashpartitioning(src" in p),
+         ("propagation + mids joins are co-partitioned (no broadcast, "
+          "no cartesian, no exchange above their scans)",
+          "BroadcastHashJoin" not in p and "CartesianProduct" not in p),
+         (f"4 hash exchanges in the static tree (agg x2 inlined + jump "
+          f"min-label side + round-end repartition); got {n_exch}",
+          n_exch == 4),
+         ("round-end exchange pinned against AQE coalescing",
+          "REPARTITION_BY_NUM" in p)]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
