@@ -126,7 +126,7 @@ def weighted_minhash(v: np.ndarray, sample_size: int, rs: np.ndarray,
 
 def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
               weights: np.ndarray, sample_size: int, seed: int,
-              chunk: int = 4) -> np.ndarray:
+              chunk: int = 8) -> np.ndarray:
     """Batched sparse kernel — the production path inside mapInPandas.
 
     Documents are CSR-style segments: doc d owns rows
@@ -138,7 +138,17 @@ def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
     bits of the winning feature hash and [:, :, 1] the t value. Fully
     vectorized: params are generated once per *unique* feature in the batch,
     segmented argmin via two ufunc.reduceat passes; O(nnz * K) work,
-    O(chunk * nnz) peak memory.
+    O(chunk * nnz) peak memory (~5 float32 (chunk, nnz) buffers, reused
+    across chunks — ~100 MB/task at the default chunk and a 640k-nnz
+    Arrow batch).
+
+    Round-6 tuning, measured on a real 480k-corpus batch (10k docs,
+    nnz 635k, uniq 9.8k) and BIT-EXACT vs the previous loop (so no
+    KERNEL_VERSION bump): chunk 4 -> 8 amortizes the reduceat and loop
+    fixed costs (-21%); preallocated gather targets (np.take(..., out=))
+    plus np.repeat for the per-row min expansion (sequential write instead
+    of a (C, nnz) random gather of mins[:, doc_of_row]) take the rest
+    (2.11 s -> 1.37 s per batch, -35%; tools/profile_wmh.py).
     """
     nnz = len(feat_hashes)
     ndocs = len(indptr) - 1
@@ -149,31 +159,41 @@ def wmh_batch(indptr: np.ndarray, feat_hashes: np.ndarray,
     vlog = np.log(weights.astype(np.float32))  # float32, matches oracle
     uniq, inv = np.unique(feat_hashes.astype(np.uint64), return_inverse=True)
     starts = indptr[:-1].astype(np.int64)
-    doc_of_row = np.repeat(np.arange(ndocs, dtype=np.int64),
-                           np.diff(indptr).astype(np.int64))
+    lens = np.diff(indptr).astype(np.int64)
     row_ids = np.arange(nnz, dtype=np.int32)
+    nnz32 = np.int32(nnz)
     k_lo32 = (feat_hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)) \
         .astype(np.uint32)
     out = np.empty((ndocs, sample_size, 2), dtype=np.uint32)
 
-    for c0 in range(0, sample_size, chunk):
-        c1 = min(sample_size, c0 + chunk)
+    C = min(chunk, sample_size)
+    r = np.empty((C, nnz), np.float32)
+    b = np.empty((C, nnz), np.float32)
+    lc = np.empty((C, nnz), np.float32)
+    t = np.empty((C, nnz), np.float32)
+    ln_a = np.empty((C, nnz), np.float32)
+    for c0 in range(0, sample_size, C):
+        c1 = min(sample_size, c0 + C)
+        if c1 - c0 != C:  # ragged tail chunk (last iteration only)
+            r, b, lc = r[:c1 - c0], b[:c1 - c0], lc[:c1 - c0]
+            t, ln_a = t[:c1 - c0], ln_a[:c1 - c0]
         # params for this sample-chunk over unique features: (C, U) float32
         rs_u, ln_cs_u, betas_u = _params_chunk(uniq, c0, c1, seed)
-        r = rs_u[:, inv]          # (C, nnz)
-        b = betas_u[:, inv]
+        np.take(rs_u, inv, axis=1, out=r)
+        np.take(betas_u, inv, axis=1, out=b)
+        np.take(ln_cs_u, inv, axis=1, out=lc)
         # in-place arithmetic: these (C, nnz) temporaries dominate memory
         # traffic, which is what throttles concurrent executor kernels
-        t = vlog[None, :] / r
+        np.divide(vlog[None, :], r, out=t)
         t += b
         np.floor(t, out=t)
-        ln_a = t - b
+        np.subtract(t, b, out=ln_a)
         ln_a *= r
-        np.subtract(ln_cs_u[:, inv], ln_a, out=ln_a)
+        np.subtract(lc, ln_a, out=ln_a)
         ln_a -= r
         mins = np.minimum.reduceat(ln_a, starts, axis=1)       # (C, ndocs)
-        is_min = ln_a == mins[:, doc_of_row]
-        cand = np.where(is_min, row_ids[None, :], nnz)
+        is_min = ln_a == np.repeat(mins, lens, axis=1)
+        cand = np.where(is_min, row_ids[None, :], nnz32)
         first = np.minimum.reduceat(cand, starts, axis=1)      # (C, ndocs)
         out[:, c0:c1, 0] = k_lo32[first].T
         tk = np.take_along_axis(t, first, axis=1)              # (C, ndocs)
