@@ -80,10 +80,29 @@ def _run_stages(spark: SparkSession, images: DataFrame,
     # and interactive queries weight new docs against THIS table
     stage("vocab", lambda: bags_stage.vocab_table(feats, cfg),
           info={"ndocs": ndocs})
+    # mapside signatures are only sound when bags are being BUILT this run:
+    # the persisted extraction output keeps each doc's rows contiguous, a
+    # property a parquet read-back of the bags checkpoint cannot guarantee
+    # (row-group splits). Decided before the bags stage runs.
+    bags_fresh = not cat.is_complete("bags")
     stage("bags", lambda: bags_stage.weight_bags(
         feats, out["vocab"], ndocs, cfg))
+    if bags_fresh and out["vocab"].count() <= cfg.mapside_vocab_max:
+        # shuffle-free path: vocabulary pruning + weighting happen inside
+        # the kernel against a broadcast (hash, df) array pair (the guard
+        # above bounds its size), docs stay contiguous through the narrow
+        # extraction lineage, no join and no groupBy anywhere (see
+        # hashst.signatures_mapside for why a Catalyst join is order-unsafe)
+        import numpy as np
+        vp = out["vocab"].select("feat_hash", "df").toPandas()
+        vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        vdf = vp["df"].to_numpy().astype(np.float64)
+        vorder = np.argsort(vh)
+        stage("signatures", lambda: hashst.signatures_mapside(
+            feats, vh[vorder], vdf[vorder], ndocs, cfg))
+    else:
+        stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
     feats.unpersist()
-    stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
     # partitioned by hashtable (O7 physical design): interactive band
     # probes prune to the b matching partitions instead of a full scan
     stage("bands", lambda: hashst.bands(out["signatures"], cfg),

@@ -88,6 +88,81 @@ class TestHashStage:
         mismatches = [k for k in exp if got[k] != exp[k]]
         assert not mismatches, f"{len(mismatches)} signature mismatches"
 
+    @staticmethod
+    def _mapside_inputs(images, cfg):
+        feats = bags_st.extract_features(images, cfg)
+        ndocs = images.count()
+        vp = bags_st.vocab_table(feats, cfg) \
+            .select("feat_hash", "df").toPandas()
+        vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        vdf = vp["df"].to_numpy().astype(np.float64)
+        o = np.argsort(vh)
+        return feats, vh[o], vdf[o], ndocs
+
+    def test_mapside_matches_shuffle_path(self, images, sigs, cfg):
+        """signatures_mapside (no groupBy, no join; in-kernel vocab prune +
+        weighting over the contiguous extraction lineage) must produce
+        byte-identical signatures to the shuffle path — INCLUDING when an
+        equivalent bags plan is cached (the sigs fixture caches one), the
+        scenario that silently reorders any join-based variant."""
+        feats, vh, vdf, ndocs = self._mapside_inputs(images, cfg)
+        got = {r["image_id"]: bytes(r["sig"])
+               for r in hashst.signatures_mapside(feats, vh, vdf, ndocs,
+                                                  cfg).collect()}
+        exp = {r["image_id"]: bytes(r["sig"]) for r in sigs.collect()}
+        assert got == exp
+
+    def test_mapside_carryover_across_tiny_batches(self, spark, images,
+                                                   sigs, cfg):
+        """With 7-row Arrow batches every document straddles batch
+        boundaries, exercising the carry buffer (including docs spanning
+        3+ batches)."""
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "7")
+        try:
+            feats, vh, vdf, ndocs = self._mapside_inputs(images, cfg)
+            got = {r["image_id"]: bytes(r["sig"])
+                   for r in hashst.signatures_mapside(feats, vh, vdf,
+                                                      ndocs, cfg).collect()}
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        exp = {r["image_id"]: bytes(r["sig"]) for r in sigs.collect()}
+        assert got == exp
+
+    def test_pipeline_mapside_fresh_and_shuffle_fallback_on_resume(
+            self, spark, images, sigs, cfg, tmp_path):
+        """Fresh run takes the mapside path; a resume with bags complete
+        but signatures missing must fall back to the shuffle path (parquet
+        read-back can split a doc across partitions) — both byte-identical
+        to the reference signatures."""
+        from apollo_spark.pipeline import run_pipeline
+        out_dir = str(tmp_path / "ck")
+        res = run_pipeline(spark, images, cfg, out_dir, extensions=False)
+        exp = {r["image_id"]: bytes(r["sig"]) for r in sigs.collect()}
+        got = {r["image_id"]: bytes(r["sig"])
+               for r in res["signatures"].collect()}
+        assert got == exp
+        # wipe signatures + downstream, keep bags: resume must rebuild via
+        # the shuffle path (bags_fresh False) and still match
+        import shutil
+        from apollo_spark.checkpoint import CheckpointCatalog
+        cat = CheckpointCatalog(spark, out_dir, cfg)
+        for st in ("signatures", "bands", "cc", "clusters"):
+            cat.invalidate(st) if hasattr(cat, "invalidate") else None
+            shutil.rmtree(f"{out_dir}/{st}", ignore_errors=True)
+        m = cat._manifest()
+        for st in ("signatures", "bands", "cc", "clusters"):
+            m["stages"].pop(st, None)
+        cat._save_manifest(m)
+        res2 = run_pipeline(spark, images, cfg, out_dir, extensions=False)
+        got2 = {r["image_id"]: bytes(r["sig"])
+                for r in res2["signatures"].collect()}
+        assert got2 == exp
+
     def test_every_doc_in_htnum_bands(self, bands, sigs, cfg):
         """Reference invariant: min = max = htnum bands per element
         (graph.py:135-138)."""

@@ -306,6 +306,34 @@ def main() -> int:
          ("round-end exchange pinned against AQE coalescing",
           "REPARTITION_BY_NUM" in p)]))
 
+    # 14. mapside signatures (round 6): the fresh-build signatures plan is
+    # a single narrow chain — no exchange, no join (vocab prune + TF-IDF
+    # weighting live inside the kernel against a broadcast array pair,
+    # immune to CacheManager plan substitution; hashst.signatures_mapside)
+    import numpy as np
+    feats_ms = bags_stage.extract_features(images, cfg)
+    vp = bags_stage.vocab_table(feats_ms, cfg) \
+        .select("feat_hash", "df").toPandas()
+    vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
+    vdf = vp["df"].to_numpy().astype(np.float64)
+    vo = np.argsort(vh)
+    ms = hashst.signatures_mapside(feats_ms, vh[vo], vdf[vo],
+                                   images.count(), cfg)
+    p = plan_of(ms)
+    sections.append((
+        "mapside signatures (fresh build: zero-shuffle, join-free)", p,
+        [("no exchange anywhere in the plan", "Exchange" not in p),
+         ("no join operator (vocab prune + weighting in-kernel)",
+          "Join" not in p),
+         ("bytes column pruned from scan", "bytes" not in
+          p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p
+          else False),
+         ("one narrow chain: extraction + signature kernels both present "
+          "(cache substitution of the persisted extraction is benign — "
+          "InMemoryTableScan preserves per-partition row order)",
+          "MapInPandas (" in p and
+          ("InMemoryTableScan" in p or p.count("MapInPandas (") >= 2))]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
