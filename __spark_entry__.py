@@ -603,6 +603,24 @@ def _centroid_values(n_centroids: int) -> str | None:
         for i, c in enumerate(cents))
 
 _SIG_PARTS_CACHE: dict[str, tuple | None] = {}
+_SIGS_CACHE: dict[str, dict | None] = {}
+
+
+def _flagship_sigs() -> dict[str, bytes] | None:
+    """Memoized host-side WMH signatures of the gate sf's flagship corpus
+    (None when its documents table is absent) — the dense kernel run
+    happens ONCE per resolved dir and feeds every signature-literal
+    oracle (wmh_clusters, census, query_by_image, refined_clusters)."""
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    if path in _SIGS_CACHE:
+        return _SIGS_CACHE[path]
+    if not os.path.exists(path):
+        _SIGS_CACHE[path] = None
+        return None
+    from apollo_spark import oracle as _oracle
+    _SIGS_CACHE[path] = _oracle.flagship_signatures_local(
+        path, _FLAGSHIP_CFG)
+    return _SIGS_CACHE[path]
 
 
 def _flagship_sig_parts() -> tuple[str, str, int, int] | None:
@@ -614,13 +632,12 @@ def _flagship_sig_parts() -> tuple[str, str, int, int] | None:
     path = os.path.join(_oracle_sf_dir(), "documents.parquet")
     if path in _SIG_PARTS_CACHE:
         return _SIG_PARTS_CACHE[path]
-    if not os.path.exists(path):
+    sigs = _flagship_sigs()
+    if sigs is None:
         _SIG_PARTS_CACHE[path] = None
         return None
-    from apollo_spark import oracle as _oracle
     from apollo_spark.core.xxh import xxhash64_str
     cfg = _FLAGSHIP_CFG
-    sigs = _oracle.flagship_signatures_local(path, cfg)
     htnum, band_size = cfg.lsh_params()
     w_hex = band_size * 8 * 2     # band = band_size 8-byte samples, hex
     sig_rows = ",\n".join(f"('{rid}', '{sig.hex()}')"
@@ -763,6 +780,75 @@ reach(node, lab) AS (
 cc AS (SELECT node AS image_id, min(lab) AS cc_id FROM reach GROUP BY node)
 SELECT xh.xh AS cluster_id, cc.cc_id AS rep, cc.image_id
 FROM cc JOIN xh ON xh.id = cc.cc_id"""
+
+
+def _refined_clusters_sql(algorithm: str | None) -> str | None:
+    """G6 refinement oracle from the same signature-literal family
+    (round 6; closes the last pipeline-stage rows-only entries). The SQL
+    independently replays everything EXCEPT the community-detection kernel:
+    band slicing, bucket assembly, min-label CC via recursive reach, the
+    size triage (size-1 dropped / size-2 passthrough / 3..4000 refined /
+    giants passed through, refine.refine_components semantics), the
+    passthrough rows, and the '<cc_id>#<rep>' id construction — the cc_id
+    prefix is SQL-derived, so a wrong component structure or triage fails
+    the join/row count. Only the within-component partition — which member
+    becomes each fat row's rep, plus the algorithm-actually-ran column —
+    injects as literals from oracle.flagship_refined_local, the host twin
+    of stages/refine._refine_kernel over an independently rebuilt
+    shared-bucket adjacency. HONESTY LABEL: the detect() kernel itself is
+    deliberately not replayed in SQL — it is pinned separately
+    (tests/test_community.py invariants + hypothesis fuzz + the pytest
+    parity test for this twin), circularity documented exactly as with
+    the WMH-signature and IVF-centroid literals. None when the gate's
+    documents table is unavailable (entry falls back to rows-only)."""
+    parts = _flagship_sig_parts()
+    if parts is None:
+        return None
+    sig_rows, _, htnum, w_hex = parts
+    from apollo_spark import oracle as _oracle
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    fat = _oracle.flagship_refined_local(
+        path, _FLAGSHIP_CFG, algorithm or _FLAGSHIP_CFG.community_algorithm,
+        sigs=_flagship_sigs())
+    fat_rows = ",\n".join(
+        f"('{r.image_id}', '{r.rep}', '{r.algorithm}')"
+        for r in fat.itertuples()) or "('', '', '')"
+    return f"""WITH RECURSIVE
+sigs AS (SELECT * FROM (VALUES
+{sig_rows}
+) t(image_id, sig_hex)),
+bands AS (SELECT image_id, ht,
+                 substring(sig_hex, ht * {w_hex} + 1, {w_hex}) AS band
+          FROM sigs CROSS JOIN
+               (SELECT unnest(range(0, {htnum})) AS ht) hts),
+stats AS (SELECT ht, band, min(image_id) AS rep, count(*) AS n
+          FROM bands GROUP BY ht, band),
+sedge AS (SELECT DISTINCT b.image_id AS a, s.rep AS b
+          FROM bands b JOIN stats s USING (ht, band)
+          WHERE s.n >= 2 AND b.image_id != s.rep),
+edges AS (SELECT a AS src, b AS dst FROM sedge
+          UNION SELECT b, a FROM sedge),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS image_id, min(lab) AS cc_id FROM reach GROUP BY node),
+sizes AS (SELECT cc_id, count(*) AS n FROM cc GROUP BY cc_id),
+fatlit AS (SELECT * FROM (VALUES
+{fat_rows}
+) t(image_id, rep, algorithm) WHERE image_id != '')
+SELECT c.image_id, c.cc_id AS cluster_id,
+       'passthrough' AS algorithm
+FROM cc c JOIN sizes s USING (cc_id) WHERE s.n = 2
+UNION ALL
+SELECT c.image_id, c.cc_id AS cluster_id,
+       'giant_passthrough' AS algorithm
+FROM cc c JOIN sizes s USING (cc_id) WHERE s.n > 4000
+UNION ALL
+SELECT c.image_id, c.cc_id || '#' || f.rep AS cluster_id, f.algorithm
+FROM cc c JOIN sizes s USING (cc_id)
+JOIN fatlit f ON f.image_id = c.image_id
+WHERE s.n BETWEEN 3 AND 4000"""
 
 
 _TOKENS = ("tok AS (SELECT doc_id::BIGINT AS doc_id, text, "
@@ -1168,6 +1254,14 @@ FROM winnow w JOIN ok USING (gh)"""
     _wc = _wmh_clusters_sql()
     if _wc is not None:
         o["wmh_clusters"] = _wc
+
+    # G6 refinement: triage + passthrough + '<cc_id>#' derivation replay
+    # in SQL; only the detect() labels inject as literals (round 6)
+    for _name, _alg in (("refined_clusters", None),
+                        ("refined_clusters_walktrap", "walktrap")):
+        _rc = _refined_clusters_sql(_alg)
+        if _rc is not None:
+            o[_name] = _rc
 
     # same literals also oracle the per-hashtable band census (A4): the
     # Spark query is groupBy(hashtable).count() over the flagship bands,

@@ -177,3 +177,63 @@ def flagship_signatures_local(docs_parquet: str,
     images = docs_as_images_local(docs_parquet)
     bags = tfidf_bags(extract_bags(images, cfg), cfg)
     return signatures(bags, cfg)
+
+
+def flagship_refined_local(docs_parquet: str, cfg: PipelineConfig,
+                           algorithm: str, sigs: dict[str, bytes] | None = None,
+                           rounds: int = 5, max_kernel_size: int = 4_000,
+                           max_fanin: int = 256) -> pd.DataFrame:
+    """Spark-free G6 refinement of the flagship corpus's FAT components
+    (3 <= n <= max_kernel_size): -> (image_id, rep, algorithm) rows, where
+    ``rep`` is the refined community's min-member id (the suffix of the
+    Spark stage's '<cc_id>#<rep>' cluster_id) and ``algorithm`` is what
+    actually ran after cap fallbacks (community.effective_algorithm).
+
+    Twin of stages/refine._refine_kernel over host-side buckets: the
+    shared-bucket adjacency (weight = #shared buckets, fanin-capped at
+    ``max_fanin`` like refine.MAX_BUCKET_FANIN) is rebuilt here
+    independently from band_buckets, and the SAME pytest-pinned
+    core.community.detect kernel labels it. Feeds the refined_clusters
+    DuckDB oracle: the SQL replays bands -> buckets -> CC -> the size
+    triage -> passthrough rows AND derives the '<cc_id>#' prefix itself;
+    only this function's (image_id, rep, algorithm) for fat components is
+    injected as literals (HONESTY LABEL: the community-detection kernel is
+    deliberately not replayed in SQL — it is pinned separately by
+    tests/test_community.py invariants + hypothesis; circularity documented
+    exactly as with the WMH signature and IVF centroid literals)."""
+    from apollo_spark.core import community
+    if sigs is None:
+        sigs = flagship_signatures_local(docs_parquet, cfg)
+    buckets = band_buckets(sigs, cfg)
+    comps = ccref.connected_components(buckets.values())
+    member_comp: dict[str, int] = {}
+    fat_docs: dict[int, np.ndarray] = {}
+    for cid, members in comps.items():
+        if 3 <= len(members) <= max_kernel_size:
+            docs = np.asarray(sorted(members), dtype=object)
+            fat_docs[cid] = docs
+            for m in members:
+                member_comp[m] = cid
+    # shared-bucket adjacency per fat component (bucket members never span
+    # components — sharing a bucket implies connectivity)
+    doc_ix = {cid: {d: i for i, d in enumerate(docs)}
+              for cid, docs in fat_docs.items()}
+    adjs = {cid: np.zeros((len(docs), len(docs)), dtype=np.float32)
+            for cid, docs in fat_docs.items()}
+    for members in buckets.values():
+        if not 2 <= len(members) <= max_fanin:
+            continue
+        cid = member_comp.get(members[0])
+        if cid is None:
+            continue
+        ix = np.asarray(sorted(doc_ix[cid][m] for m in set(members)),
+                        dtype=np.int64)
+        adjs[cid][np.ix_(ix, ix)] += np.float32(1.0)
+    rows = []
+    for cid, docs in fat_docs.items():
+        adj = adjs[cid]
+        np.fill_diagonal(adj, 0.0)
+        used = community.effective_algorithm(algorithm, len(docs))
+        labels = community.detect(adj, algorithm, rounds)
+        rows.extend((d, docs[lab], used) for d, lab in zip(docs, labels))
+    return pd.DataFrame(rows, columns=["image_id", "rep", "algorithm"])

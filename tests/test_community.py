@@ -279,3 +279,31 @@ class TestFallbackSurfacing:
             "image_id string, hashtable int, band binary")
         out = refine.refine_components(cc, memb, cfg)
         assert {r["algorithm"] for r in out.collect()} == {"passthrough"}
+
+
+class TestRefinedTwinParity:
+    def test_flagship_refined_twin_matches_spark(self, spark):
+        """oracle.flagship_refined_local — the host twin feeding the
+        refined_clusters DuckDB oracle's fat-row literals — emits the SAME
+        (image_id -> rep, effective-algorithm) mapping as the distributed
+        refine stage on the driver's sf0.001 corpus, for both the config
+        default and the reference-default walktrap. This is the documented
+        circularity boundary: the SQL replays triage/CC/id-derivation, this
+        test pins the one injected piece against the real Spark stage."""
+        import __spark_entry__ as e
+        from apollo_spark import oracle
+
+        sf = "/root/testdata/sf0.001"
+        for alg in (None, "walktrap"):
+            rows = e._refined_clusters_query(spark, sf, algorithm=alg) \
+                .collect()
+            fat = {r["image_id"]: (r["cluster_id"].split("#", 1)[1],
+                                   r["algorithm"])
+                   for r in rows if "#" in r["cluster_id"]}
+            assert fat, "sf0.001 flagship corpus must have fat components"
+            host = oracle.flagship_refined_local(
+                f"{sf}/documents.parquet", e._FLAGSHIP_CFG,
+                alg or e._FLAGSHIP_CFG.community_algorithm)
+            host_map = {r.image_id: (r.rep, r.algorithm)
+                        for r in host.itertuples()}
+            assert fat == host_map
