@@ -118,9 +118,13 @@ def _update_clusters_partitioned(cat: CheckpointCatalog,
     cc). Falls back to a full partitioned rewrite when the existing table
     predates the layout."""
     from apollo_spark.stages import cc as cc_stage
+    # no localCheckpoint: ``relabeled`` is already localCheckpointed by
+    # the caller on every path, so new_cl's lineage reads no checkpoint
+    # table — the content localCheckpoint below is the one
+    # materialization needed before the overwrite, and an extra job here
+    # was pure fixed overhead (round-6 append-cadence work).
     new_cl = cc_stage.with_clusters_partition(
-        cc_stage.clusters(relabeled.select("image_id", "cc_id")), cfg) \
-        .localCheckpoint()
+        cc_stage.clusters(relabeled.select("image_id", "cc_id")), cfg)
     if cat.is_complete("clusters") and \
             cat.stage_info("clusters").get("cc_layout") == \
             cc_stage.CC_LAYOUT:
@@ -273,7 +277,7 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
                                               "left_semi"), cfg)
             memb = memb.unionByName(m2).unionByName(
                 candidates.pairs_as_membership(new_pairs))
-        affected, relabeled, singles = \
+        affected, relabeled, singles, small = \
             cc_stage.incremental_components_parts(
                 old_cc, cc_stage.star_edges(memb),
                 new_images.select("image_id"), cfg)
@@ -289,17 +293,26 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
             #     superseding nothing, landing as new files without
             #     rewriting any existing partition.
             # Inputs reading the table under overwrite are materialized
-            # first (localCheckpoint).
+            # first (localCheckpoint). A collect-to-driver fast path for
+            # the micro-batch case was tried this round and MEASURED
+            # SLOWER despite 3 fewer jobs (interleaved A/B, 3 rounds):
+            # the collect + createDataFrame round-trips cost more than
+            # the saved job overhead, so the lc form stays for both
+            # paths. ``small`` (driver union-find engaged) is currently
+            # informational only.
             affected = affected.localCheckpoint()
             relabeled = cc_stage.with_cc_partition(relabeled, cfg) \
                 .localCheckpoint()
             # singles' anti-join reads the pre-overwrite table — cut now
             singles = cc_stage.with_cc_partition(singles, cfg) \
                 .localCheckpoint()
+            # ONE distinct-collect for the touched-partition set (was two
+            # driver-blocking jobs: relabels' partitions, then affected
+            # old labels' partitions)
             touched = {r["p"] for r in relabeled.select("p")
+                       .unionByName(cc_stage.with_cc_partition(
+                           affected, cfg).select("p"))
                        .distinct().collect()}
-            touched |= {r["p"] for r in cc_stage.with_cc_partition(
-                affected, cfg).select("p").distinct().collect()}
             if touched:
                 content = (cat.load("cc")
                            .filter(F.col("p").isin(sorted(touched)))

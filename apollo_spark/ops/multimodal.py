@@ -85,6 +85,42 @@ def _fake_decode(raw: bytes, w: int, h: int) -> np.ndarray:
     return gen.integers(0, 256, size=(max(h, 1), max(w, 1)), dtype=np.uint8)
 
 
+def decode_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch body of decode_features — also the HOST TWIN the
+    literal-injection oracle replays (same device as
+    oracle.flagship_signatures_local): one pandas batch of the images
+    schema in, the decoded-stats frame out, no Spark. Keeping the Spark
+    kernel and the oracle on the same function means the driver's hash
+    compare verifies the mapInPandas ORCHESTRATION (batching, schema,
+    row completeness); the decode math itself is pinned separately by
+    pytest (PSNR invariant, codec round-trip tests)."""
+    rows = {k: [] for k in
+            ("image_id", "w", "h", "mean_px", "std_px", "decoder")}
+    from apollo_spark.functions import codecs
+    for rid, raw, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                   pdf["w"], pdf["h"], pdf["fmt"]):
+        raw = bytes(raw)
+        if _HAVE_PIL and fmt in ("png", "jpeg") \
+                and not raw.startswith(codecs.MAGIC):
+            import io  # pragma: no cover
+            px = np.asarray(Image.open(io.BytesIO(raw)).convert("L"))
+            dec = "pil"
+        elif raw.startswith(codecs.MAGIC):
+            # real decode of the deterministic container format
+            px = codecs.decode(raw).mean(axis=2)
+            dec = "asim"
+        else:
+            px = _fake_decode(raw, int(w), int(h))
+            dec = "stub"
+        rows["image_id"].append(rid)
+        rows["w"].append(px.shape[1])
+        rows["h"].append(px.shape[0])
+        rows["mean_px"].append(float(px.mean()))
+        rows["std_px"].append(float(px.std()))
+        rows["decoder"].append(dec)
+    return pd.DataFrame(rows)
+
+
 def decode_features(images: DataFrame) -> DataFrame:
     """Decode each payload and emit pixel statistics
     (image_id, w, h, mean_px, std_px, decoder).
@@ -95,31 +131,7 @@ def decode_features(images: DataFrame) -> DataFrame:
 
     def kernel(it):
         for pdf in it:
-            rows = {k: [] for k in
-                    ("image_id", "w", "h", "mean_px", "std_px", "decoder")}
-            from apollo_spark.functions import codecs
-            for rid, raw, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
-                                           pdf["w"], pdf["h"], pdf["fmt"]):
-                raw = bytes(raw)
-                if _HAVE_PIL and fmt in ("png", "jpeg") \
-                        and not raw.startswith(codecs.MAGIC):
-                    import io  # pragma: no cover
-                    px = np.asarray(Image.open(io.BytesIO(raw)).convert("L"))
-                    dec = "pil"
-                elif raw.startswith(codecs.MAGIC):
-                    # real decode of the deterministic container format
-                    px = codecs.decode(raw).mean(axis=2)
-                    dec = "asim"
-                else:
-                    px = _fake_decode(raw, int(w), int(h))
-                    dec = "stub"
-                rows["image_id"].append(rid)
-                rows["w"].append(px.shape[1])
-                rows["h"].append(px.shape[0])
-                rows["mean_px"].append(float(px.mean()))
-                rows["std_px"].append(float(px.std()))
-                rows["decoder"].append(dec)
-            yield pd.DataFrame(rows)
+            yield decode_features_pdf(pdf)
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(kernel, schema=DECODE_SCHEMA)

@@ -222,7 +222,7 @@ def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
     partitions ∪ new labels' partitions, stale rows removed with the
     rewrite). The parquet backend keeps the simple full rewrite.
     """
-    affected, relabeled, singles = incremental_components_parts(
+    affected, relabeled, singles, _small = incremental_components_parts(
         old_cc, new_edges, new_ids, cfg)
     unaffected = old_cc.join(affected, "cc_id", "left_anti")
     return unaffected.unionByName(relabeled).unionByName(singles)
@@ -234,14 +234,14 @@ CC_DRIVER_EDGES_MAX = 100_000   # incremental-CC small-graph short-circuit:
                                 # round-barriered distributed fixpoint
 
 
-def _labels_driver_side(edges: DataFrame) -> DataFrame:
-    """Union-find over a COLLECTED (image_id, rep) edge list -> the same
-    (image_id, cc_id = min member id) labeling label_fixpoint converges
-    to, in one collect instead of per-round barrier jobs. Only called by
-    the incremental path under CC_DRIVER_EDGES_MAX (the collect is
-    bounded to a few MB of string pairs); path-halving find keeps it
-    near-linear."""
-    rows = edges.collect()
+def _labels_driver_side(spark, rows) -> DataFrame:
+    """Union-find over an already-COLLECTED (image_id, rep) edge list ->
+    the same (image_id, cc_id = min member id) labeling label_fixpoint
+    converges to. Only called by the incremental path under
+    CC_DRIVER_EDGES_MAX (the caller's bounded limit-collect caps it at a
+    few MB of string pairs); path-halving find keeps it near-linear. The
+    result is a LOCAL relation — downstream consumers can collect or join
+    it without re-running any corpus scan."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -264,17 +264,17 @@ def _labels_driver_side(edges: DataFrame) -> DataFrame:
         if cur is None or n < cur:
             comp_min[root] = n
     out = [(n, comp_min[find(n)]) for n in nodes]
-    return edges.sparkSession.createDataFrame(
-        out, "image_id string, cc_id string")
+    return spark.createDataFrame(out, "image_id string, cc_id string")
 
 
 def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
                                  new_ids: DataFrame, cfg: PipelineConfig
-                                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+                                 ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                            bool]:
     """The warm-start core, returning the pieces separately so the caller
     can choose the write strategy per piece:
 
-      (affected old cc_ids, relabeled rows, singleton rows)
+      (affected old cc_ids, relabeled rows, singleton rows, small)
 
     ``relabeled`` = members of affected components with their merged
     labels — SMALL (only components the delta actually collides with) and
@@ -285,7 +285,13 @@ def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
     hash-scatter by own id; overwriting their partitions would rewrite the
     whole table and defeat the point). Everything else is byte-identical
     to old_cc. incremental_components() composes the full table for flat
-    layouts."""
+    layouts.
+
+    ``small`` = True iff the driver short-circuit engaged: ``relabeled``
+    is then a LOCAL relation and |affected| / |relabeled| are bounded by
+    CC_DRIVER_EDGES_MAX, so the caller may collect them for driver-side
+    bookkeeping (touched-partition sets, anti-join literals) without an
+    unbounded-collect hazard on a mega-append."""
     new_edges = new_edges.localCheckpoint()
     endpoints = (new_edges.select("image_id")
                  .unionByName(new_edges.select(F.col("rep")
@@ -297,7 +303,9 @@ def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
     star_old = (aff_nodes.filter(F.col("image_id") != F.col("cc_id"))
                 .select("image_id", F.col("cc_id").alias("rep")))
     # materialize the merged edge list ONCE — the fixpoint joins it every
-    # round and must not re-derive star_old from the old cc table per round
+    # round, the size probe below must not re-run star_old's corpus scan
+    # per CollectLimit attempt wave, and incremental consumers must not
+    # re-derive it from the old cc table
     edges = (new_edges.unionByName(star_old).distinct()
              .localCheckpoint())
     # Small-graph short-circuit (round-6, streaming-cadence headroom): the
@@ -305,23 +313,26 @@ def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
     # O(corpus) — so a typical micro-batch append carries a few hundred
     # edges, and the distributed fixpoint's per-round driver barrier
     # (~1-1.5 s/round x >= 2 rounds, measured) dominates the whole append.
-    # At or under the threshold (<= a few MB collected), a driver-side
-    # union-find produces the IDENTICAL labeling (min image_id per merged
-    # component) in one cached-scan job. A mega-append whose delta touches
-    # more edges than the threshold falls back to the distributed
-    # fixpoint — the count is a ~free cached-checkpoint scan. The FULL
-    # build path (connected_components) never short-circuits: its graph is
+    # ONE bounded limit-collect over the checkpointed edges both probes
+    # the size and fetches the edge list (previously count + collect = two
+    # jobs): at or under the threshold (<= a few MB of string pairs), a
+    # driver-side union-find produces the IDENTICAL labeling (min image_id
+    # per merged component). A mega-append over the threshold discards the
+    # truncated probe and runs the distributed fixpoint. The FULL build
+    # path (connected_components) never short-circuits: its graph is
     # corpus-sized by construction and its 1->4 scaling is a graded
     # measurement of the distributed fixpoint.
-    if edges.count() <= CC_DRIVER_EDGES_MAX:
-        labels = _labels_driver_side(edges)
+    rows = edges.limit(CC_DRIVER_EDGES_MAX + 1).collect()
+    small = len(rows) <= CC_DRIVER_EDGES_MAX
+    if small:
+        labels = _labels_driver_side(edges.sparkSession, rows)
     else:
         labels = label_fixpoint(edges, cfg.max_cc_iterations)
     singles = (new_ids.select("image_id")
                .join(labels.select("image_id"), "image_id", "left_anti")
                .join(old_cc.select("image_id"), "image_id", "left_anti")
                .withColumn("cc_id", F.col("image_id")))
-    return affected, labels, singles
+    return affected, labels, singles, small
 
 
 def connected_components(bands: DataFrame, cfg: PipelineConfig,
