@@ -1,11 +1,24 @@
 """A/B the CC label fixpoint: legacy (v1) vs the shipped exchange-reduced
-loop (v2 == stages/cc.py label_fixpoint since round 6) vs a rejected
-two-rounds-per-barrier variant (v3).
+loop (v2 == stages/cc.py label_fixpoint since round 6) vs two rejected
+variants — two-rounds-per-barrier (v3) and a partition-local union-find
+contraction prepass (v4).
 
 Measured on the real 677k-edge star graph of the 480k scaling corpus at
 local[4], best of 3: v1 13.47 s / v2 9.62 s (-29%) / v3 23.46 s (rejected:
 the doubled-depth job costs more than the saved barrier). Parity 0
 mismatches for both v2 and v3 against v1.
+
+v4 (REJECTED, round 6): zero-shuffle mapInPandas union-find per partition
+before the v2 loop — the classic local-contraction device for cutting
+fixpoint rounds. Parity 0 mismatches at every scale tried, but SLOWER on
+the bucket-chain graph shape this pipeline produces: 7.19 s vs v2's
+5.72 s at 480k-synth / 7.00 vs 4.59 at 50k (best-of-3, local[4]). Root
+cause: star contraction has already collapsed bucket-local structure, so
+the fixpoint converges in ~3 pointer-jumped rounds and the prepass can
+save at most ~1 of them, while its own cost (Arrow transfer of the full
+edge list through Python + a checkpoint job) exceeds one round's barrier.
+Would only pay on graphs with deep cross-bucket chains (diameter >> 8);
+re-try there, not here.
 
 v2 hypothesis (round-6 fixpoint-floor work): the 1->4 scaling floor of the
 fixpoint (~10 s at local[4] on 677k contracted edges, BASELINE.md cc-stage
@@ -81,6 +94,64 @@ def fixpoint_v1(edges: DataFrame, max_iter: int) -> DataFrame:
         warnings.warn(f"fixpoint_v1 hit max_iter with {changed} moving",
                       RuntimeWarning, stacklevel=2)
     return labels.withColumnRenamed("label", "cc_id")
+
+
+def local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction (v4 prepass candidate):
+    each task unions every edge it holds and re-emits its local
+    components as stars rooted at the local min id — ZERO shuffle (runs
+    over whatever partitioning the edge list already has), one
+    Arrow-batched pass. Connectivity is preserved exactly (the union of
+    per-partition spanning stars spans the same global components), the
+    output edge count drops from |edges| to <= |distinct nodes per
+    partition| minus the local component count, and — the actual target —
+    the contracted graph's diameter collapses by the local fragment
+    depth, so the distributed fixpoint needs fewer barrier rounds.
+    Roots are local MINIMA, so the star-edge invariant rep < image_id
+    that v2's init aggregate exploits still holds. Per-task memory is a
+    dict over the partition's distinct node ids — bounded by the input
+    split size (maxPartitionBytes), not the corpus."""
+    import pandas as pd
+
+    def kernel(it):
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in it:
+            for a, b in zip(pdf["image_id"], pdf["rep"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_n, out_r = [], []
+        for n in parent:
+            r = find(n)
+            if r != n:
+                out_n.append(n)
+                out_r.append(r)
+        yield pd.DataFrame({"image_id": out_n, "rep": out_r})
+
+    return edges.mapInPandas(kernel, schema="image_id string, rep string")
+
+
+def fixpoint_v4(edges: DataFrame, max_iter: int, cc_stage) -> DataFrame:
+    """v4 = local_contract prepass + the shipped v2 loop over the
+    contracted stars. Hypothesis: the fixpoint floor is per-round barrier
+    latency, so buying fewer rounds with one fully-parallel zero-shuffle
+    pass is net positive whenever the input graph has cross-bucket
+    chains deeper than one partition fragment."""
+    contracted = local_contract(edges).localCheckpoint()
+    return cc_stage.label_fixpoint(contracted, max_iter)
 
 
 def fixpoint_v3(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -169,7 +240,7 @@ def main() -> int:
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--impl", default="both",
-                    choices=["v1", "v2", "v3", "both", "all"])
+                    choices=["v1", "v2", "v3", "v4", "both", "all", "v2v4"])
     ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
 
@@ -210,6 +281,10 @@ def main() -> int:
         impls["v2"] = lambda: cc_stage.label_fixpoint(edges, 20)
     if args.impl in ("v3", "all"):
         impls["v3"] = lambda: fixpoint_v3(edges, 20)
+    if args.impl in ("v4", "all", "v2v4"):
+        impls["v4"] = lambda: fixpoint_v4(edges, 20, cc_stage)
+    if args.impl == "v2v4" and "v2" not in impls:
+        impls["v2"] = lambda: cc_stage.label_fixpoint(edges, 20)
 
     results = {}
     for name, fn in impls.items():
@@ -225,15 +300,17 @@ def main() -> int:
         results[name] = (min(walls), out)
 
     if len(results) > 1:
-        a = results["v1"][1].withColumnRenamed("cc_id", "a")
+        base = "v1" if "v1" in results else sorted(results)[0]
+        a = results[base][1].withColumnRenamed("cc_id", "a")
         for name in results:
-            if name == "v1":
+            if name == base:
                 continue
             b = results[name][1].withColumnRenamed("cc_id", "b")
             bad = (a.join(b, "image_id", "full")
                    .filter("a is null or b is null or a != b").count())
-            print(f"parity v1 vs {name}: {bad} mismatches", file=sys.stderr)
-            assert bad == 0, f"v1 vs {name} labeling mismatch"
+            print(f"parity {base} vs {name}: {bad} mismatches",
+                  file=sys.stderr)
+            assert bad == 0, f"{base} vs {name} labeling mismatch"
     for name, (w, _) in results.items():
         print(f"{name} best wall: {w:.2f}s")
     return 0
