@@ -1,42 +1,91 @@
 #!/bin/bash
-# Round-6 final-evidence watcher: probe the box's hardware scaling ceiling
-# every ~3 min; in the first good window run bench.py at HEAD (captures the
-# WMH-kernel cut, zero-shuffle signatures, CC fixpoint v2 and append
-# job-count work that all landed AFTER the last recorded bench), then
-# re-probe and if the window holds launch the 1->4 scaling retake.
-# The probe trail is itself adjudication evidence (the failed-window
-# fallback convention from rounds 4-6).
+# Round-6 final-evidence watcher, v3.
+#
+# v2 (commit b7ade4e) trusted a SINGLE cpu_calibration probe to open the
+# window and fired bench.py exactly once. That failed in practice at
+# 11:43 UTC: a probe whose tp_lo side landed in a neighbor stall reported
+# a capped eff of 1.0 (the max-per-side aggregation discards stalls WITHIN
+# a probe, but a stall spanning both lo trials still crushes tp_lo and
+# inflates eff), the watcher fired, and bench.py ran inside a window whose
+# own embedded probes read 0.071 before / 0.419 after — a discarded
+# reading that consumed the one-shot bench slot.
+#
+# v3 fixes all three failure modes:
+#   1. tp_lo floor: a pass requires tp_lo >= 35 reps/s (clean single-core
+#      throughput is 40-49; a crushed-lo spurious 1.0 reads ~7-27).
+#   2. double confirmation: two consecutive passing probes before firing.
+#   3. post-run self-validation: bench.py embeds its own before/after
+#      ceilings; if min(before, after) < 0.55 the reading is logged as
+#      discarded and the bench slot is RE-ARMED instead of consumed.
+# Validated results are copied into the repo so the round-end auto-commit
+# picks them up even if no build session is alive.
 set -u
 cd /root/repo
 LOG=/tmp/weather_watch_r6.log
 BENCH_BAR=0.84
 SCALE_BAR=0.80
 
-probe() {
-    python tools/cpu_calibration.py 2>/dev/null | tail -1 |
-        python3 -c "import json,sys; print(json.load(sys.stdin)['1->4']['eff'])"
+probe() { python tools/cpu_calibration.py 2>/dev/null | tail -1; }
+
+passes() {  # $1 = probe json, $2 = eff bar; prints 1/0 and logs eff+tp_lo
+    python3 - "$1" "$2" <<'EOF'
+import json, sys
+d = json.loads(sys.argv[1])["1->4"]
+print(1 if d["eff"] >= float(sys.argv[2]) and d["tp_lo"] >= 35 else 0)
+EOF
 }
 
-echo "$(date -u +%H:%M:%S) watcher start (HEAD $(git rev-parse --short HEAD))" >> "$LOG"
+fields() {
+    python3 - "$1" <<'EOF'
+import json, sys
+d = json.loads(sys.argv[1])["1->4"]
+print(f"eff {d['eff']} tp_lo {d['tp_lo']}")
+EOF
+}
+
+bench_ok() {  # validate embedded same-run ceilings of a finished bench json
+    python3 - "$1" <<'EOF'
+import json, sys
+try:
+    j = json.load(open(sys.argv[1]))
+    lo = min(j["ceiling_before"]["eff"], j["ceiling_after"]["eff"])
+    print(1 if lo >= 0.55 else 0)
+except Exception:
+    print(0)
+EOF
+}
+
+echo "$(date -u +%H:%M:%S) watcher v3 start (HEAD $(git rev-parse --short HEAD))" >> "$LOG"
 BENCH_DONE=0
 for i in $(seq 1 200); do
-    EFF=$(probe)
-    echo "$(date -u +%H:%M:%S) ceiling $EFF" >> "$LOG"
-    GOOD=$(python3 -c "print(1 if float('$EFF') >= $BENCH_BAR else 0)")
-    if [ "$GOOD" = "1" ]; then
-        if [ "$BENCH_DONE" = "0" ]; then
-            echo "$(date -u +%H:%M:%S) window open -> bench.py" >> "$LOG"
-            python bench.py > /tmp/bench_r6_good.json 2>/tmp/bench_r6_good.err
-            echo "$(date -u +%H:%M:%S) bench.py rc=$? done" >> "$LOG"
-            BENCH_DONE=1
+    P=$(probe)
+    echo "$(date -u +%H:%M:%S) probe $(fields "$P")" >> "$LOG"
+    if [ "$(passes "$P" $BENCH_BAR)" = "1" ]; then
+        P2=$(probe)
+        echo "$(date -u +%H:%M:%S) confirm $(fields "$P2")" >> "$LOG"
+        if [ "$(passes "$P2" $BENCH_BAR)" != "1" ]; then
             continue
         fi
-        SGOOD=$(python3 -c "print(1 if float('$EFF') >= $SCALE_BAR else 0)")
-        if [ "$SGOOD" = "1" ]; then
+        if [ "$BENCH_DONE" = "0" ]; then
+            echo "$(date -u +%H:%M:%S) window confirmed -> bench.py" >> "$LOG"
+            python bench.py > /tmp/bench_r6_good.json 2>/tmp/bench_r6_good.err
+            RC=$?
+            if [ "$RC" = "0" ] && [ "$(bench_ok /tmp/bench_r6_good.json)" = "1" ]; then
+                cp /tmp/bench_r6_good.json BENCH_r6_HEAD_goodwindow.json
+                echo "$(date -u +%H:%M:%S) bench.py VALID -> BENCH_r6_HEAD_goodwindow.json" >> "$LOG"
+                BENCH_DONE=1
+            else
+                TS=$(date -u +%H%M%S)
+                cp /tmp/bench_r6_good.json /tmp/bench_r6_discarded_$TS.json 2>/dev/null
+                echo "$(date -u +%H:%M:%S) bench.py rc=$RC DISCARDED (embedded ceilings below 0.55) -> /tmp/bench_r6_discarded_$TS.json; slot re-armed" >> "$LOG"
+            fi
+            continue
+        fi
+        if [ "$(passes "$P2" $SCALE_BAR)" = "1" ]; then
             echo "$(date -u +%H:%M:%S) window holds -> bench_scaling" >> "$LOG"
             python tools/bench_scaling.py --rows 480000 --runs 3 --warmup 1 \
                 --cores 1,4 --no-pin > /tmp/bench_scaling_r6.log 2>&1
-            echo "$(date -u +%H:%M:%S) bench_scaling rc=$? done" >> "$LOG"
+            echo "$(date -u +%H:%M:%S) bench_scaling rc=$? done (BENCH_SCALING.json updated in-repo)" >> "$LOG"
             break
         fi
     fi
