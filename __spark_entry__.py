@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+    q["repetition_signals"] = lambda s, d: text.repetition_signals(
+        _docs(s, d))
 
     # --- embeddings (oracled) ---
     # headline near-dup = the regime dispatcher (similarity.cosine_neardup):
@@ -1087,6 +1089,44 @@ SELECT doc_id,
        (sum(i * ('0x' || substring(md5(tk[i]), 1, 7))::BIGINT)
         % 1000000007)::BIGINT AS fingerprint
 FROM pos GROUP BY doc_id"""
+
+    # Independent relational derivation of ops/text.py:repetition_signals
+    # (explode + keyed aggs there vs per-row higher-order expressions in
+    # Spark), so the oracle is a second derivation, not an expression replay.
+    o["repetition_signals"] = f"""
+WITH {_TOKENS},
+base AS (SELECT doc_id, len(tk)::BIGINT AS n_tok,
+                len(list_distinct(tk))::BIGINT AS n_dist FROM tok),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i + 1])) AS g
+       FROM tok),
+g3 AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i + 1] || ' '
+                                         || tk[i + 2])) AS g
+       FROM tok),
+c2 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top2,
+              (max(cnt) - 1)::DOUBLE / sum(cnt) AS excess2
+       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g)
+       GROUP BY doc_id),
+c3 AS (SELECT doc_id,
+              coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)::DOUBLE
+                / sum(cnt) AS dup3
+       FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g)
+       GROUP BY doc_id)
+SELECT b.doc_id,
+  round(coalesce(c2.top2, 0.0), 6) AS top2_mass,
+  round(coalesce(c2.excess2, 0.0), 6) AS top2_excess,
+  round(coalesce(c3.dup3, 0.0), 6) AS dup3_frac,
+  round((b.n_tok - b.n_dist)::DOUBLE / b.n_tok, 6) AS rep_token_frac,
+  (round(coalesce(c2.excess2, 0.0), 6) <= 0.20
+   AND round(coalesce(c3.dup3, 0.0), 6) <= 0.18
+   AND round((b.n_tok - b.n_dist)::DOUBLE / b.n_tok, 6) <= 0.30)
+    AS keep_repetition
+FROM base b
+LEFT JOIN c2 USING (doc_id)
+LEFT JOIN c3 USING (doc_id)"""
 
     o["cosine_exact"] = f"""
 WITH {_EMB_NORM}

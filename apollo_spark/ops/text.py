@@ -115,6 +115,74 @@ def lang_filter(docs: DataFrame, lang: str = "en",
     return lang_id(docs, threshold).filter(F.col("pred_lang") == lang)
 
 
+def _ngram_col(tk: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array as a per-row array column.
+    Empty (same element type) when the document has fewer than n tokens —
+    built with slice(_,1,0) so no when/otherwise type-cast is needed."""
+    idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]))
+    return F.when(F.size(tk) >= n, grams).otherwise(F.slice(tk, 1, 0))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals (Rae et al. 2021,
+    "Scaling Language Models" appendix A1.1 repetitious-text filters),
+    adapted from character-mass to token-count fractions because the
+    corpus rows are caption-length:
+
+      top2_mass      — share of 2-grams held by the most frequent 2-gram
+                       (the raw Gopher signal, emitted for re-thresholding)
+      top2_excess    — (top count - 1) / n_grams: the mode's mass beyond
+                       the all-distinct baseline. This is what the keep
+                       flag thresholds — raw top2_mass is 1/(n-1) even for
+                       a perfectly clean short caption, so Gopher's
+                       long-document bar would misfire at caption length.
+      dup3_frac      — share of 3-grams that occur more than once
+      rep_token_frac — 1 - distinct/total tokens
+      keep_repetition — excess/dup3/rep under 0.20 / 0.18 / 0.30
+                        (Gopher-ish bars; re-thresholdable downstream
+                        since the raw fractions are emitted)
+
+    Zero-shuffle by construction: every signal is a higher-order array
+    expression per row (narrow map over the scan, no explode, no
+    groupBy). The n-gram mode uses an O(g²) filter-count per row — g is
+    caption length, so this stays cheap and keeps the whole operator in
+    one whole-stage-codegen span; the relational twin (explode + two
+    keyed aggs) is what the DuckDB oracle runs, making the oracle an
+    independent derivation rather than the same expression replayed.
+    Fractions are rounded to 6 dp BEFORE thresholding so the keep flag
+    compares identically in both engines.
+    """
+    toks = tokens_col()
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       toks.alias("tk"))
+    tk = F.col("tk")
+    g2, g3 = _ngram_col(tk, 2), _ngram_col(tk, 3)
+    n2, n3 = F.size(g2), F.size(g3)
+    top2 = F.coalesce(F.array_max(F.transform(
+        g2, lambda g: F.size(F.filter(g2, lambda x: x == g)))), F.lit(0))
+    dup3 = F.size(F.filter(
+        g3, lambda g: F.size(F.filter(g3, lambda x: x == g)) > 1))
+    rep_tok = ((F.size(tk) - F.size(F.array_distinct(tk))).cast("double")
+               / F.size(tk))
+    out = base.select(
+        "doc_id",
+        F.round(F.when(n2 > 0, top2.cast("double") / n2)
+                .otherwise(F.lit(0.0)), 6).alias("top2_mass"),
+        F.round(F.when(n2 > 0, (top2 - 1).cast("double") / n2)
+                .otherwise(F.lit(0.0)), 6).alias("top2_excess"),
+        F.round(F.when(n3 > 0, dup3.cast("double") / n3)
+                .otherwise(F.lit(0.0)), 6).alias("dup3_frac"),
+        F.round(rep_tok, 6).alias("rep_token_frac"),
+    )
+    return out.withColumn(
+        "keep_repetition",
+        (F.col("top2_excess") <= 0.20) & (F.col("dup3_frac") <= 0.18)
+        & (F.col("rep_token_frac") <= 0.30))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint (rolling-hash family):
 

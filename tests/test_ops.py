@@ -377,6 +377,42 @@ class TestText:
         assert out.loc[1, "pred_lang"] == "en"
         assert out.loc[2, "pred_lang"] == "unknown"
 
+    def test_repetition_signals_hand_case(self, spark):
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b a b",                  # heavy repetition
+                     "the quick brown fox jumps",    # clean caption
+                     "x"]}))                         # degenerate: 1 token
+        out = text.repetition_signals(docs).toPandas().set_index("doc_id")
+        # doc 1: 2-grams [ab ba ab ba ab] -> top 'a b' 3/5; excess 2/5;
+        # 3-grams [aba bab aba bab] all duplicated; tokens 6 with 2 distinct
+        assert out.loc[1, "top2_mass"] == 0.6
+        assert out.loc[1, "top2_excess"] == 0.4
+        assert out.loc[1, "dup3_frac"] == 1.0
+        assert out.loc[1, "rep_token_frac"] == round(4 / 6, 6)
+        assert not out.loc[1, "keep_repetition"]
+        # doc 2: all 2-grams distinct -> raw mass 1/4 but ZERO excess;
+        # the flag must not reject a clean short caption (the reason the
+        # keep flag thresholds excess, not raw Gopher mass)
+        assert out.loc[2, "top2_mass"] == 0.25
+        assert out.loc[2, "top2_excess"] == 0.0
+        assert out.loc[2, "dup3_frac"] == 0.0
+        assert out.loc[2, "rep_token_frac"] == 0.0
+        assert bool(out.loc[2, "keep_repetition"])
+        # doc 3: no 2-/3-grams at all -> all signals 0, kept
+        assert out.loc[3, "top2_mass"] == 0.0
+        assert bool(out.loc[3, "keep_repetition"])
+
+    def test_repetition_signals_bounded_and_plan_narrow(self, docs):
+        sdf = text.repetition_signals(docs)
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+        out = sdf.toPandas()
+        for c in ("top2_mass", "top2_excess", "dup3_frac",
+                  "rep_token_frac"):
+            assert out[c].between(0.0, 1.0).all(), c
+        assert (out["top2_excess"] <= out["top2_mass"]).all()
+
     def test_quality_monotone_in_length(self, docs):
         out = text.quality_score(docs).toPandas()
         assert (out["quality"] > 0).all() and (out["quality"] <= 1).all()

@@ -334,6 +334,24 @@ def main() -> int:
           "MapInPandas (" in p and
           ("InMemoryTableScan" in p or p.count("MapInPandas (") >= 2))]))
 
+    # 15. repetition signals (round 6): Gopher-style repetition filters as
+    # per-row higher-order array expressions — the whole operator must be
+    # one narrow codegen span over the scan (no explode, no shuffle)
+    from apollo_spark.ops import text as text_ops
+    rep = text_ops.repetition_signals(docs)
+    p = plan_of(rep)
+    sections.append((
+        "repetition signals (zero-shuffle per-row quality filters)", p,
+        [("no exchange anywhere in the plan", "Exchange" not in p),
+         ("no explode/generate (n-gram stats stay per-row)",
+          "Generate" not in p),
+         ("no join", "Join" not in p),
+         ("whole-stage codegen present",
+          "WholeStageCodegen" in p or "codegen id" in p),
+         ("only doc_id+text read from the scan", "ReadSchema" in p and
+          all(c not in p.split("ReadSchema")[1].split("\n")[0]
+              for c in ("lang", "source", "n_chars")))]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
