@@ -167,6 +167,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["repetition_signals"] = lambda s, d: text.repetition_signals(
         _docs(s, d))
+    q["span_dedup"] = lambda s, d: text.span_dedup(_docs(s, d), span=10)
+    # benchmark set = the deterministic doc_id % 31 slice of the same
+    # corpus (no external data; 31 chosen because at sf0.01 the slice
+    # catches planted near-dups, so the gate exercises CROSS-document
+    # contamination, not just bench self-hits); bench docs share all
+    # their grams with themselves, so they flag contaminated too — the
+    # correct outcome for an eval slice inside a training corpus
+    q["decontaminate"] = lambda s, d: text.decontaminate(
+        _docs(s, d), _docs(s, d).filter((F.col("doc_id") % 31) == 0),
+        n=13)
 
     # --- embeddings (oracled) ---
     # headline near-dup = the regime dispatcher (similarity.cosine_neardup):
@@ -1127,6 +1137,58 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN c2 USING (doc_id)
 LEFT JOIN c3 USING (doc_id)"""
+
+    # Independent relational derivation of ops/text.py:span_dedup:
+    # first-occurrence election by row_number() window here vs the
+    # min-struct aggregate + join-back in Spark, reassembly by
+    # string_agg(ORDER BY) here vs collect_list + array_sort there.
+    _SPAN = 10
+    o["span_dedup"] = f"""
+WITH {_TOKENS},
+spans AS (SELECT doc_id, i AS span_idx,
+                 array_to_string(list_slice(tk, i * {_SPAN} + 1,
+                                            i * {_SPAN} + {_SPAN}),
+                                 ' ') AS span_text
+          FROM (SELECT doc_id, tk,
+                       unnest(range(0, (len(tk) + {_SPAN} - 1)
+                                       // {_SPAN})) AS i
+                FROM tok)),
+kept AS (SELECT doc_id, span_idx, span_text
+         FROM (SELECT spans.*,
+                      row_number() OVER (PARTITION BY span_text
+                          ORDER BY doc_id, span_idx) AS rn
+               FROM spans)
+         WHERE rn = 1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       ((len(t.tk) + {_SPAN} - 1) // {_SPAN})::BIGINT AS n_spans,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN agg a USING (doc_id)"""
+
+    # Independent derivation of ops/text.py:decontaminate: grams by
+    # unnest + relational join here vs higher-order transform + broadcast
+    # left-semi in Spark. Benchmark slice = doc_id % 31 (matches the
+    # queries() wiring; bench docs flag contaminated by construction,
+    # and at sf0.01 two NON-bench docs flag via planted near-dups).
+    _NGRAM = 13
+    o["decontaminate"] = f"""
+WITH {_TOKENS},
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}),
+                        i -> array_to_string(
+                                 list_slice(tk, i, i + {_NGRAM - 1}),
+                                 ' '))) AS g
+          FROM tok),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 31 = 0),
+hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
+SELECT t.doc_id,
+       greatest(len(t.tk) - {_NGRAM - 1}, 0)::BIGINT AS n_grams,
+       (h.doc_id IS NOT NULL) AS contaminated,
+       (h.doc_id IS NULL) AS keep_decontaminated
+FROM tok t LEFT JOIN hits h USING (doc_id)"""
 
     o["cosine_exact"] = f"""
 WITH {_EMB_NORM}

@@ -199,3 +199,106 @@ def fingerprint(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.pmod(F.sum("term"), F.lit(FP_MOD)).cast("long")
                  .alias("fingerprint")))
+
+
+def span_dedup(docs: DataFrame, span: int = 10) -> DataFrame:
+    """C4-style cross-document span deduplication (Raffel et al. 2020 §2.2
+    "we discarded all but one of any three-sentence span occurring more
+    than once"), adapted from sentence spans to NON-OVERLAPPING ``span``-
+    token windows because this corpus carries no sentence boundaries:
+
+      every document is cut into consecutive ``span``-token pieces (the
+      tail piece may be shorter); a piece is kept iff it is the FIRST
+      occurrence of that exact text in the corpus under the deterministic
+      global order (doc_id, span_idx). Output per document:
+
+      (doc_id, n_spans, n_kept, clean_text)  — clean_text is the kept
+      pieces re-joined in order ('' when every piece was a duplicate).
+
+    Plan shape: one narrow explode (transform + posexplode — no Python),
+    a groupBy(span_text) min-struct aggregate to elect first occurrences
+    (map-side combinable, so corpus-wide boilerplate spans — the hot keys
+    by construction — collapse to one row per partition before the
+    exchange), a join back on span_text, and one groupBy(doc_id) to
+    reassemble. The join's stream side concentrates a hot span's
+    occurrences onto one task; that is a plain equi-join, so AQE's
+    skew-split (enabled session-wide) shards it at runtime — unlike the
+    bucketed self-joins (ops/skew.py) there is no quadratic blow-up to
+    salt against, only row routing. Election-by-aggregation was chosen
+    over a row_number() window for exactly that reason: the window form
+    shuffles every occurrence to one task with no partial-combine escape.
+    """
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokens_col().alias("tk"))
+    nspans = F.ceil(F.size("tk") / F.lit(span)).cast("long")
+    pieces = F.transform(
+        F.sequence(F.lit(0), (nspans - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("tk", i * span + 1, span)))
+    spans = base.select("doc_id", F.posexplode(pieces)
+                        .alias("span_idx", "span_text"))
+    firsts = (spans.groupBy("span_text")
+              .agg(F.min(F.struct("doc_id", "span_idx")).alias("first")))
+    kept = (spans.join(firsts, "span_text")
+            .filter((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("span_idx") == F.col("first.span_idx")))
+            .select("doc_id", "span_idx", "span_text"))
+    reassembled = (kept.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_kept"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("span_idx", "span_text"))),
+                                lambda s: s["span_text"]), " ")
+                        .alias("clean_text")))
+    return (base.select("doc_id", nspans.alias("n_spans"))
+            .join(reassembled, "doc_id", "left")
+            .select("doc_id", "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  n: int = 13) -> DataFrame:
+    """GPT-3-style training-set decontamination (Brown et al. 2020
+    appendix C: drop training documents sharing any 13-gram with a
+    benchmark/eval set). ``bench`` is any DataFrame with a ``text``
+    column; a corpus document is ``contaminated`` iff at least one of its
+    ``n``-token grams (whitespace tokens, same tokenizer as every text
+    op) appears anywhere in ``bench``. Output per corpus document:
+
+      (doc_id, n_grams, contaminated, keep_decontaminated)
+
+    Documents shorter than ``n`` tokens have no grams and are never
+    contaminated. Joining is on the literal gram STRING — exact by
+    construction (a hashed twin would trade a broadcast-map byte factor
+    for a collision-false-positive probability; at the benchmark sizes
+    this targets, the strings fit).
+
+    Plan shape for the 100 TB case: the benchmark side is tiny relative
+    to the corpus (that is the premise of decontamination), so its
+    distinct gram set BROADCASTS and the corpus-side probe is a map-side
+    left-semi join over a narrow explode — zero corpus shuffle until the
+    per-doc distinct (combinable, keys are doc ids: no hot key possible).
+    The final flag join is left unhinted on purpose: the contaminated-id
+    set is usually small enough for AQE to broadcast at runtime, and when
+    a pathological corpus is 90% contaminated a sort-merge that can spill
+    is the right fallback — exactly the decision AQE makes from the
+    measured size.
+    """
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokens_col().alias("tk"))
+    grams = _ngram_col(F.col("tk"), n)
+    bench_grams = (bench.select(tokens_col().alias("tk"))
+                   .select(F.explode(_ngram_col(F.col("tk"), n)).alias("g"))
+                   .distinct())
+    hits = (base.select("doc_id", F.explode(grams).alias("g"))
+            .join(F.broadcast(bench_grams), "g", "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(True)))
+    return (base.select("doc_id", F.size(grams).cast("long")
+                        .alias("n_grams"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("hit", F.lit(False)).alias("contaminated"))
+            .withColumn("keep_decontaminated", ~F.col("contaminated")))

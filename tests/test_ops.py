@@ -417,6 +417,92 @@ class TestText:
         out = text.quality_score(docs).toPandas()
         assert (out["quality"] > 0).all() and (out["quality"] <= 1).all()
 
+    def test_span_dedup_hand_case(self, spark):
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d e f",    # first occurrence of both spans
+                     "a b c x y z",    # leading span duplicates doc 1's
+                     "d e f",          # whole doc duplicates doc 1's tail
+                     "d e"]}))         # short tail span, NOT a dup of
+        #                                "d e f" (span text differs)
+        out = (text.span_dedup(docs, span=3).toPandas()
+               .set_index("doc_id"))
+        assert out.loc[1].tolist() == [2, 2, "a b c d e f"]
+        assert out.loc[2].tolist() == [2, 1, "x y z"]
+        assert out.loc[3].tolist() == [1, 0, ""]
+        assert out.loc[4].tolist() == [1, 1, "d e"]
+
+    @staticmethod
+    def _py_span_dedup(pdf: pd.DataFrame, span: int) -> pd.DataFrame:
+        seen: set[str] = set()
+        rows = []
+        for _, r in pdf.sort_values("doc_id").iterrows():
+            toks = r["text"].strip().split(" ")
+            spans = [" ".join(toks[i:i + span])
+                     for i in range(0, len(toks), span)]
+            kept = []
+            for s in spans:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            rows.append((int(r["doc_id"]), len(spans), len(kept),
+                         " ".join(kept)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_spans", "n_kept",
+                                           "clean_text"])
+
+    def test_span_dedup_matches_python(self, docs, docs_pdf):
+        got = (text.span_dedup(docs, span=10).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = self._py_span_dedup(docs_pdf, 10).astype(
+            {"n_spans": "int64", "n_kept": "int64"})
+        pd.testing.assert_frame_equal(got, want)
+        # the sf0.001 corpus has planted dups -> the op must actually drop
+        assert (got["n_kept"] < got["n_spans"]).any()
+
+    def test_decontaminate_hand_case(self, spark):
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["z z p q r z",   # contains bench gram 'p q r'
+                     "a b c d",       # clean
+                     "p q"]}))        # too short for any 3-gram
+        bench = spark.createDataFrame(pd.DataFrame(
+            {"text": ["p q r s"]}))
+        out = (text.decontaminate(docs, bench, n=3).toPandas()
+               .set_index("doc_id"))
+        assert out.loc[1].tolist() == [4, True, False]
+        assert out.loc[2].tolist() == [2, False, True]
+        assert out.loc[3].tolist() == [0, False, True]
+
+    def test_decontaminate_matches_python(self, docs, docs_pdf):
+        n = 13
+        bench_pdf = docs_pdf[docs_pdf["doc_id"] % 31 == 0]
+        got = (text.decontaminate(
+            docs, docs.filter((F.col("doc_id") % 31) == 0), n=n)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+        def grams(t: str) -> set[str]:
+            toks = t.strip().split(" ")
+            return {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+
+        bench_grams = set().union(*(grams(t) for t in bench_pdf["text"]))
+        for _, r in got.iterrows():
+            t = docs_pdf.loc[docs_pdf["doc_id"] == r["doc_id"],
+                             "text"].iloc[0]
+            g = grams(t)
+            ntok = len(t.strip().split(" "))
+            assert r["n_grams"] == max(ntok - n + 1, 0)
+            assert r["contaminated"] == bool(g & bench_grams)
+            assert r["keep_decontaminated"] == (not r["contaminated"])
+        # every bench doc flags itself
+        assert got[got["doc_id"] % 31 == 0]["contaminated"].all()
+
+    def test_decontaminate_broadcasts_bench_side(self, docs):
+        sdf = text.decontaminate(
+            docs, docs.filter((F.col("doc_id") % 31) == 0), n=13)
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
 
 class TestMultimodal:
     def test_byte_stats_matches_python(self, spark):
