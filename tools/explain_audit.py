@@ -352,6 +352,49 @@ def main() -> int:
           all(c not in p.split("ReadSchema")[1].split("\n")[0]
               for c in ("lang", "source", "n_chars")))]))
 
+    import re as _re
+
+    def _plain_exchanges(p: str) -> int:
+        # detail-header count of shuffle exchanges; "(25) BroadcastExchange"
+        # does not match because of the required space before "Exchange"
+        return len(_re.findall(r"\(\d+\) Exchange", p))
+
+    # 16. span dedup (round 6): C4-style first-occurrence election must be
+    # a map-side-combinable aggregate (partial before the exchange), not a
+    # row_number window that routes every occurrence of a hot span to one
+    # task with no combine escape
+    sd = text_ops.span_dedup(docs)
+    p = plan_of(sd)
+    sections.append((
+        "span dedup (C4 first-occurrence election by aggregation)", p,
+        [("election is partial+final min-struct (map-side combinable)",
+          "partial_min(struct" in p),
+         ("reassembly collect_list is partial+final",
+          "partial_collect_list" in p),
+         ("narrow explode (Generate, no Python)", "Generate" in p
+          and "BatchEvalPython" not in p),
+         ("no cartesian product", "CartesianProduct" not in p),
+         ("exactly 2 shuffles: election + reassembly",
+          _plain_exchanges(p) == 2)]))
+
+    # 17. decontamination (round 6): the benchmark gram set must broadcast
+    # and the corpus-side probe must reach the left-semi with ZERO corpus
+    # shuffle — the only exchanges in the whole plan are the (tiny) bench
+    # gram distinct and the per-doc-id distinct
+    bench = docs.filter(F.pmod(F.col("doc_id").cast("long"), F.lit(31))
+                        == 0)
+    dc = text_ops.decontaminate(docs, bench)
+    p = plan_of(dc)
+    sections.append((
+        "decontamination (broadcast bench grams, map-side semi probe)", p,
+        [("bench grams broadcast into a left-semi",
+          "BroadcastHashJoin LeftSemi" in p),
+         ("no cartesian product", "CartesianProduct" not in p),
+         ("zero corpus-gram shuffle: only bench-distinct + doc-id-distinct "
+          "exchanges", _plain_exchanges(p) == 2),
+         ("doc-id distinct is partial+final (combinable)",
+          "partial_count" in p or p.count("HashAggregate") >= 2)]))
+
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
              "engine relies on at scale, checked against Catalyst output.",
