@@ -53,10 +53,38 @@ from apollo_spark.stages import validate as validate_stage
 _GATE_SF_DIR: str | None = None
 
 
+def _scan_wide(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Input-parallelism floor (guide §2.5 'input skew: one huge
+    unsplittable file -> repartition immediately after the read'): the
+    testdata tables arrive as ONE parquet file with ONE row group, so a
+    scan cannot split below it and every narrow chain downstream — the
+    shingle explode + 8x md5 of the minhash ladder, the extraction
+    kernels — ran on ONE core until its first exchange (round-7
+    measurement: word_shingles noop 1.9 s at sf0.1, almost entirely the
+    single-task scan+explode+md5 span). Round-robin repartition to the
+    session's parallelism, applied ONLY when the scan is narrower: at
+    production scale a large table scans as thousands of splits already
+    and this is a no-op, and what it shuffles here is the raw input rows
+    themselves, once, before any row-multiplying transform."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _GATE_SF_DIR
     _GATE_SF_DIR = sf_dir
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs with the scan-parallelism floor — used by the COMPUTE-HEAVY
+    chains (md5 minhash ladder, WMH extraction), where the single-file
+    scan serialized seconds of per-row work on one core. The sub-second
+    scan+agg queries keep the bare scan: for them the extra exchange
+    costs more than the parallelism buys (measured both ways, round 7)."""
+    return _scan_wide(_docs(spark, sf_dir), spark)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,24 +164,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dedup ladder over documents (oracled) ---
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["shingle_docfreq"] = lambda s, d: (
-        dedup.word_shingles(_docs(s, d))
+        dedup.word_shingles(_docsw(s, d))
         .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2))
-    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docsw(s, d))
     q["minhash_bands"] = lambda s, d: dedup.lsh_bands(
-        dedup.minhash_signatures(_docs(s, d)))
+        dedup.minhash_signatures(_docsw(s, d)))
     q["lsh_buckets"] = lambda s, d: dedup.lsh_buckets(dedup.lsh_bands(
-        dedup.minhash_signatures(_docs(s, d))))
+        dedup.minhash_signatures(_docsw(s, d))))
     q["candidate_pairs"] = lambda s, d: dedup.candidate_pairs(dedup.lsh_bands(
-        dedup.minhash_signatures(_docs(s, d))))
-    q["minhash_dedup"] = lambda s, d: dedup.minhash_dedup(_docs(s, d))
-    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
+        dedup.minhash_signatures(_docsw(s, d))))
+    q["minhash_dedup"] = lambda s, d: dedup.minhash_dedup(_docsw(s, d))
+    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docsw(s, d))
     # CC consumes verified pairs + linear-mode star edges from over-cap hot
     # buckets (dup_edges), so mega near-dup clusters survive the bucket cap
     q["dedup_cc"] = lambda s, d: dedup.connected_components_pairs(
-        dedup.dup_edges(_docs(s, d)))
+        dedup.dup_edges(_docsw(s, d)))
     q["cluster_sizes"] = lambda s, d: (
-        dedup.connected_components_pairs(dedup.dup_edges(_docs(s, d)))
+        dedup.connected_components_pairs(dedup.dup_edges(_docsw(s, d)))
         .groupBy("cc_id").agg(F.count(F.lit(1)).alias("n_members")))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
@@ -335,7 +363,7 @@ def _wjacc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b, jaccard) with a < b normalization; a query doc is an endpoint
     of every row. The band table is built once and persisted — the probe,
     the candidate generation, and the qid selection all reuse it."""
-    docs = _docs(spark, sf_dir)
+    docs = _docsw(spark, sf_dir)
     # localCheckpoint (eager) cuts the DAG: downstream consumers reference
     # each intermediate several times and must not recompute the chain.
     bands = dedup.lsh_bands(dedup.minhash_signatures(docs)).localCheckpoint()
@@ -364,7 +392,7 @@ def _cluster_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel over the WMH flagship chain stays covered by run_pipeline
     --evaluate and tests/test_stages.py::TestEval (kernel-backed there:
     WMH clusters are not SQL-expressible)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docsw(spark, sf_dir)
     cc = dedup.connected_components_pairs(dedup.dup_edges(docs))
     sizes = (cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("nm"))
              .filter("nm >= 2"))
@@ -410,7 +438,7 @@ def _substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints over captions (= document text via the adapter), run on
     the driver's documents table so the DuckDB oracle reproduces the pass
     bit-for-bit (portable md5 gram hash + identical window spec)."""
-    images = _docs_as_images(_docs(spark, sf_dir))
+    images = _docs_as_images(_docsw(spark, sf_dir))
     memb = candidates.substring_membership(images, PipelineConfig())
     return memb.select(
         "image_id", "hashtable",
@@ -427,7 +455,7 @@ def _simhash_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     census, and the bit_count verify bit-for-bit. Behavior on real
     perceptual hashes with planted duplicate clusters stays pytest-gated
     (tests/test_stages.py::TestCandidates)."""
-    images = _docs(spark, sf_dir).select(
+    images = _docsw(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("image_id"),
         F.expr("cast(conv(substring(md5(substring(text, 1, 32)), 1, 15), "
                "16, 10) AS bigint)").alias("phash"))

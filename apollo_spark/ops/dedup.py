@@ -314,54 +314,25 @@ def simhash_pairs(docs: DataFrame, bits: int = 60,
 
 def connected_components_pairs(pairs: DataFrame,
                                max_iter: int = 15) -> DataFrame:
-    """Min-label propagation over an (a, b) edge list -> (doc_id, cc_id)
-    for every endpoint; cc_id = min doc_id reachable. The numeric-id twin
-    of stages/cc.py (same fixpoint, same localCheckpoint lineage cut);
-    with per-round path halving, so rounds ~ O(log diameter)."""
-    edges = (pairs.select(F.col("a").cast("long").alias("src"),
-                          F.col("b").cast("long").alias("dst"))
-             .union(pairs.select(F.col("b").cast("long"),
-                                 F.col("a").cast("long")))
+    """Min-label CC over an (a, b) edge list -> (doc_id, cc_id) for every
+    endpoint; cc_id = min doc_id reachable.
+
+    Round-7: delegates to stages/cc.components_from_edges — ONE shared CC
+    core instead of a hand-rolled numeric twin. Two wins, both measured:
+    (1) a pair graph at or under CC_DRIVER_EDGES_MAX resolves in a single
+    bounded limit-collect + driver union-find (the per-round driver
+    barrier, not data, dominated dedup_cc at bench scale), and (2) the
+    over-bound distributed path inherits the round-6 exchange-reduced
+    fixpoint (edges pre-partitioned once, labels co-partitioned, round 1
+    fused into the init aggregate — measured −29% at local[4]) that the
+    old twin here never received. Labels are identical on both paths
+    (min-reachable-id; parity pinned by tests)."""
+    from apollo_spark.stages import cc as cc_stage
+    edges = (pairs.select(F.col("a").cast("long").alias("image_id"),
+                          F.col("b").cast("long").alias("rep"))
              .distinct()
              .localCheckpoint())  # cut the (possibly LSH-deep) pair lineage
                                   # ONCE — without this every round re-runs
                                   # the whole candidate+verify chain
-    # lazy: materializes inside round 1's count job (count-as-materializer)
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .localCheckpoint(eager=False))
-    changed = 0
-    for _ in range(max_iter):
-        prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("label").alias("nlabel")))
-        mids = (labels.join(prop, "doc_id", "left")
-                .select("doc_id",
-                        F.least("label", "nlabel").alias("mid"),
-                        F.col("label").alias("old")))
-        # pointer jump (path halving, same device as stages/cc.py):
-        # l(v) <- l(l(v)) via a self-join — O(log diameter) rounds
-        parents = mids.select(F.col("doc_id").alias("mid"),
-                              F.col("mid").alias("pmid"))
-        # lazy checkpoint + count-as-materializer (same device as
-        # stages/cc.label_fixpoint): ONE blocking job per round — the
-        # count computes the round, caches the checkpoint partitions and
-        # yields the convergence flag, replacing the eager-checkpoint +
-        # count pair that made the round count CC's serial scaling term
-        new = (mids.join(parents, "mid", "left")
-               .select("doc_id",
-                       F.coalesce("pmid", "mid").alias("label"),
-                       (F.coalesce("pmid", "mid") < F.col("old"))
-                       .alias("moved"))
-               .localCheckpoint(eager=False))
-        changed = new.filter("moved").count()
-        labels = new.select("doc_id", "label")
-        if changed == 0:
-            break
-    if changed:
-        import warnings
-        warnings.warn(
-            f"connected_components_pairs hit max_iter={max_iter} with "
-            f"{changed} labels still moving — deep components are split",
-            RuntimeWarning, stacklevel=2)
-    return labels.select("doc_id", F.col("label").alias("cc_id"))
+    return cc_stage.components_from_edges(
+        edges, max_iter, out_schema="doc_id long, cc_id long")

