@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import asdict
@@ -74,6 +75,12 @@ class CheckpointCatalog:
         # batching active (see batched_catalog)
         self._metrics_buf: list[tuple] | None = None
         self._ops_batched = 0
+        # serializes manifest read-modify-write and metrics recording so
+        # INDEPENDENT stage writes may run from a small thread pool
+        # (incremental.py overlaps the cc/clusters/singles writes, guide
+        # §2.6 'overlap independent jobs'); the Spark actions themselves
+        # stay outside the lock and overlap freely
+        self._lock = threading.RLock()
 
     def _table(self, stage: str) -> str:
         return f"{self.catalog}.{self.namespace}.{stage}"
@@ -195,17 +202,18 @@ class CheckpointCatalog:
                     self.path(stage))
         out = self.load(stage)
         self._record_metrics(stage, time.time() - t0)
-        m = self._manifest()
-        if m.get("config_fp") != self.config_fp:
-            m = {"config_fp": self.config_fp, "stages": {}}
-        entry = {"ts": time.time(), "path": self.path(stage)}
-        if self.backend == "iceberg":
-            entry["table"] = self._table(stage)
-            entry["snapshot_id"] = self._current_snapshot(stage)
-        if info:
-            entry.update(info)
-        m["stages"][stage] = entry
-        self._save_manifest(m)
+        with self._lock:
+            m = self._manifest()
+            if m.get("config_fp") != self.config_fp:
+                m = {"config_fp": self.config_fp, "stages": {}}
+            entry = {"ts": time.time(), "path": self.path(stage)}
+            if self.backend == "iceberg":
+                entry["table"] = self._table(stage)
+                entry["snapshot_id"] = self._current_snapshot(stage)
+            if info:
+                entry.update(info)
+            m["stages"][stage] = entry
+            self._save_manifest(m)
         return out
 
     def append(self, stage: str, df: DataFrame,
@@ -250,16 +258,17 @@ class CheckpointCatalog:
             new_files = [f for f in self._stage_files(stage)
                          if f not in before]
             self._record_metrics(stage, time.time() - t0, files=new_files)
-        m = self._manifest()
-        entry = m["stages"].setdefault(
-            stage, {"path": self.path(stage)})
-        entry["ts"] = time.time()
-        entry["appends"] = int(entry.get("appends", 0)) + 1
-        if self.backend == "iceberg":
-            entry["snapshot_id"] = self._current_snapshot(stage)
-        if info:
-            entry.update(info)
-        self._save_manifest(m)
+        with self._lock:
+            m = self._manifest()
+            entry = m["stages"].setdefault(
+                stage, {"path": self.path(stage)})
+            entry["ts"] = time.time()
+            entry["appends"] = int(entry.get("appends", 0)) + 1
+            if self.backend == "iceberg":
+                entry["snapshot_id"] = self._current_snapshot(stage)
+            if info:
+                entry.update(info)
+            self._save_manifest(m)
         return self.load(stage)
 
     def overwrite_partitions(self, stage: str, df: DataFrame,
@@ -297,16 +306,17 @@ class CheckpointCatalog:
             new_files = [f for f in self._stage_files(stage)
                          if f not in before]
             self._record_metrics(stage, time.time() - t0, files=new_files)
-        m = self._manifest()
-        entry = m["stages"].setdefault(stage, {"path": self.path(stage)})
-        entry["ts"] = time.time()
-        entry["partition_overwrites"] = int(
-            entry.get("partition_overwrites", 0)) + 1
-        if self.backend == "iceberg":
-            entry["snapshot_id"] = self._current_snapshot(stage)
-        if info:
-            entry.update(info)
-        self._save_manifest(m)
+        with self._lock:
+            m = self._manifest()
+            entry = m["stages"].setdefault(stage, {"path": self.path(stage)})
+            entry["ts"] = time.time()
+            entry["partition_overwrites"] = int(
+                entry.get("partition_overwrites", 0)) + 1
+            if self.backend == "iceberg":
+                entry["snapshot_id"] = self._current_snapshot(stage)
+            if info:
+                entry.update(info)
+            self._save_manifest(m)
         return self.load(stage)
 
     def clear_partitions(self, stage: str, col: str,
@@ -512,10 +522,11 @@ class CheckpointCatalog:
                 md = pq.ParquetFile(f).metadata
                 rows.append((stage, i, md.num_rows, os.path.getsize(f),
                              int(wall_s * 1000)))
-        if self._metrics_buf is not None:
-            self._metrics_buf.extend(rows)
-            self._ops_batched += 1
-            return
+        with self._lock:
+            if self._metrics_buf is not None:
+                self._metrics_buf.extend(rows)
+                self._ops_batched += 1
+                return
         self._write_metrics_rows(rows)
 
     def _write_metrics_rows(self, rows: list[tuple]) -> None:

@@ -101,54 +101,6 @@ def delta_fingerprint(new_images: DataFrame) \
             (f"{int(fp_row['s1'] or 0) & mask:x}-{n}",))
 
 
-def _update_clusters_partitioned(cat: CheckpointCatalog,
-                                 cfg: PipelineConfig,
-                                 affected: DataFrame, relabeled: DataFrame,
-                                 touched: set) -> None:
-    """O(touched) clusters update for an append (round-3 VERDICT #4: the
-    clusters table was the last corpus-wide rewrite on the append path).
-    Clusters partition on p = hash(rep) with the SAME hash/modulus as the
-    cc table (stages/cc.with_clusters_partition), so the cc update's
-    touched set applies verbatim: new cluster rows derive from
-    ``relabeled`` alone (the complete membership of every affected or
-    delta-born component — components only grow on append, so no cluster
-    outside ``touched`` changes), survivors are the touched partitions'
-    rows whose rep is not an affected component, and partitions left with
-    no rows are cleared explicitly (same ADVICE r3 stale-file hazard as
-    cc). Falls back to a full partitioned rewrite when the existing table
-    predates the layout."""
-    from apollo_spark.stages import cc as cc_stage
-    # no localCheckpoint: ``relabeled`` is already localCheckpointed by
-    # the caller on every path, so new_cl's lineage reads no checkpoint
-    # table — the content localCheckpoint below is the one
-    # materialization needed before the overwrite, and an extra job here
-    # was pure fixed overhead (round-6 append-cadence work).
-    new_cl = cc_stage.with_clusters_partition(
-        cc_stage.clusters(relabeled.select("image_id", "cc_id")), cfg)
-    if cat.is_complete("clusters") and \
-            cat.stage_info("clusters").get("cc_layout") == \
-            cc_stage.CC_LAYOUT:
-        if touched:
-            aff_rep = affected.select(F.col("cc_id").alias("rep"))
-            content = (cat.load("clusters")
-                       .filter(F.col("p").isin(sorted(touched)))
-                       .join(aff_rep, "rep", "left_anti")
-                       .unionByName(new_cl)
-                       .localCheckpoint())
-            present = {r["p"] for r in content.select("p")
-                       .distinct().collect()}
-            cat.clear_partitions("clusters", "p",
-                                 sorted(touched - present))
-            cat.overwrite_partitions(
-                "clusters", content, ["p"],
-                info={"cc_layout": cc_stage.CC_LAYOUT})
-    else:
-        cat.write("clusters", cc_stage.with_clusters_partition(
-            cc_stage.clusters(cat.load("cc").select("image_id", "cc_id")),
-            cfg), partition_by=["p"],
-            info={"cc_layout": cc_stage.CC_LAYOUT})
-
-
 def append_images(spark: SparkSession, all_images: DataFrame | None,
                   new_images: DataFrame, cfg: PipelineConfig,
                   out_dir: str, extensions: bool = True,
@@ -284,56 +236,179 @@ def _append_images_batched(spark, cat, all_images, new_images, cfg,
         _mark("inc_cc")
         cat.reset([s for s in DERIVED_STAGES])
         if cat.stage_info("cc").get("cc_layout") == cc_stage.CC_LAYOUT:
-            # O(affected + |delta|) IO, two writes:
-            #  1. dynamic-overwrite ONLY the partitions holding relabeled
-            #     rows or stale affected rows (content = unaffected
-            #     survivors of those partitions + the relabels) — small,
-            #     because only delta-COLLIDING components relabel;
-            #  2. plain APPEND of the delta singletons — brand-new keys
-            #     superseding nothing, landing as new files without
-            #     rewriting any existing partition.
-            # Inputs reading the table under overwrite are materialized
-            # first (localCheckpoint). A collect-to-driver fast path for
-            # the micro-batch case was tried this round and MEASURED
-            # SLOWER despite 3 fewer jobs (interleaved A/B, 3 rounds):
-            # the collect + createDataFrame round-trips cost more than
-            # the saved job overhead, so the lc form stays for both
-            # paths. ``small`` (driver union-find engaged) is currently
-            # informational only.
-            affected = affected.localCheckpoint()
-            relabeled = cc_stage.with_cc_partition(relabeled, cfg) \
-                .localCheckpoint()
-            # singles' anti-join reads the pre-overwrite table — cut now
-            singles = cc_stage.with_cc_partition(singles, cfg) \
-                .localCheckpoint()
-            # ONE distinct-collect for the touched-partition set (was two
-            # driver-blocking jobs: relabels' partitions, then affected
-            # old labels' partitions)
-            touched = {r["p"] for r in relabeled.select("p")
-                       .unionByName(cc_stage.with_cc_partition(
-                           affected, cfg).select("p"))
-                       .distinct().collect()}
+            # O(affected + |delta|) IO, three writes (cc overwrite,
+            # singles append, clusters overwrite) — semantics unchanged
+            # from round 6, but the phase's JOB COUNT is restructured
+            # (VERDICT r6 #1: cc_write was 7.5-9.5 s of a ~20 s append,
+            # nearly all fixed per-job overhead, not bytes):
+            #   * when the union-find short-circuit engaged (``small`` —
+            #     the steady-state micro-append), ``relabeled`` is a
+            #     local relation and ``affected`` is bounded by the edge
+            #     cap: ONE bounded collect fetches the affected ids, and
+            #     the touched-partition set is computed DRIVER-side with
+            #     the xxhash64 twin (bit-parity with Spark's string
+            #     xxhash64 is pytest-pinned) — the old
+            #     affected-lc + relabeled-lc + touched-distinct-collect
+            #     job triple disappears;
+            #   * cc content, the singles append input and the clusters
+            #     content all read PRE-overwrite tables, so they
+            #     materialize in ONE tagged-union localCheckpoint
+            #     instead of three separate ones, and both
+            #     present-partition sets come from ONE collect over that
+            #     checkpoint (round 6's collect-to-driver A/B rejected
+            #     replacing DISTRIBUTED work with collects; this keeps
+            #     every distributed piece distributed and only merges
+            #     the blocking materialization points).
+            spark_s = new_images.sparkSession
+            parts_n = cfg.cc_table_partitions
+            rel_local = getattr(relabeled, "_apollo_local_rows", None)
+            relabeled = cc_stage.with_cc_partition(relabeled, cfg)
+            singles = cc_stage.with_cc_partition(singles, cfg)
+            if small and rel_local is not None:
+                import pandas as pd
+
+                from apollo_spark.core.xxh import xxhash64_str
+                aff_ids = sorted(r["cc_id"] for r in affected.collect())
+                affected = spark_s.createDataFrame(
+                    pd.DataFrame({"cc_id": aff_ids}), "cc_id string") \
+                    if aff_ids else spark_s.createDataFrame(
+                        [], "cc_id string")
+                # touched set computed entirely driver-side: the union-find
+                # labels are already local rows, and Python's % on the
+                # xxhash64 twin IS Spark's pmod for positive moduli
+                touched = ({xxhash64_str(c) % parts_n for c in aff_ids}
+                           | {xxhash64_str(cc) % parts_n
+                              for _n, cc in rel_local})
+                # clusters rows for the relabeled components, also driver-
+                # side (n >= 2 filter + xxhash64 surrogate id — the same
+                # math with_clusters_partition/clusters express in SQL;
+                # xxhash64 twin parity is pytest-pinned), sparing the
+                # combined materialization job a groupBy+join subtree
+                from collections import Counter
+                ccnt = Counter(cc for _n, cc in rel_local)
+                cl_schema = ("cluster_id long, rep string, "
+                             "image_id string, p int")
+                cl_rows = [(xxhash64_str(cc), cc, img,
+                            xxhash64_str(cc) % parts_n)
+                           for img, cc in rel_local if ccnt[cc] >= 2]
+                new_cl = spark_s.createDataFrame(
+                    pd.DataFrame(cl_rows, columns=[
+                        "cluster_id", "rep", "image_id", "p"]),
+                    cl_schema) if cl_rows else \
+                    spark_s.createDataFrame([], cl_schema)
+            else:
+                affected = affected.localCheckpoint()
+                relabeled = relabeled.localCheckpoint()
+                touched = {r["p"] for r in relabeled.select("p")
+                           .unionByName(cc_stage.with_cc_partition(
+                               affected, cfg).select("p"))
+                           .distinct().collect()}
+                new_cl = cc_stage.with_clusters_partition(
+                    cc_stage.clusters(
+                        relabeled.select("image_id", "cc_id")), cfg)
+            cl_incremental = touched and cat.is_complete("clusters") and \
+                cat.stage_info("clusters").get("cc_layout") == \
+                cc_stage.CC_LAYOUT
+            # one tagged union materializes every pre-overwrite read
+            CC_T, SGL_T, CL_T = 0, 1, 2
+            pieces = [singles.withColumn("_t", F.lit(SGL_T))]
             if touched:
-                content = (cat.load("cc")
-                           .filter(F.col("p").isin(sorted(touched)))
-                           .join(affected, "cc_id", "left_anti")
-                           .unionByName(relabeled)
-                           .localCheckpoint())
+                pieces.append(
+                    (cat.load("cc")
+                     .filter(F.col("p").isin(sorted(touched)))
+                     .join(affected, "cc_id", "left_anti")
+                     .unionByName(relabeled))
+                    .withColumn("_t", F.lit(CC_T)))
+            if cl_incremental:
+                aff_rep = affected.select(F.col("cc_id").alias("rep"))
+                pieces.append(
+                    (cat.load("clusters")
+                     .filter(F.col("p").isin(sorted(touched)))
+                     .join(aff_rep, "rep", "left_anti")
+                     .unionByName(new_cl))
+                    .withColumn("_t", F.lit(CL_T)))
+            combined = pieces[0]
+            for p_ in pieces[1:]:
+                combined = combined.unionByName(
+                    p_, allowMissingColumns=True)
+            combined = combined.localCheckpoint()
+            present = {(r["_t"], r["p"]) for r in
+                       combined.select("_t", "p").distinct().collect()}
+            cc_cols = ["image_id", "cc_id", "p"]
+            cl_cols = ["cluster_id", "rep", "image_id", "p"]
+
+            # each written frame is repartitioned BY p with a pinned
+            # partition count before its write (same device and rationale
+            # as run_pipeline's cc stage): one file per touched hive dir
+            # instead of (tasks x dirs) small files — the combined
+            # checkpoint carries ~100+ partitions and the fan-out showed
+            # up both in the write and in every later scan of the table
+            def _write_cc_overwrite():
                 # dynamic overwrite replaces only partitions PRESENT in
                 # the written df — a touched partition whose every row
                 # relabeled away (no survivor, new labels hash elsewhere)
                 # would keep its stale files and duplicate those members
                 # (ADVICE r3 high). Clear the difference explicitly,
                 # inside the pending window.
-                present = {r["p"] for r in content.select("p")
-                           .distinct().collect()}
-                cat.clear_partitions("cc", "p", sorted(touched - present))
+                cat.clear_partitions(
+                    "cc", "p", sorted(touched - {p for t, p in present
+                                                 if t == CC_T}))
                 cat.overwrite_partitions(
-                    "cc", content, ["p"],
+                    "cc", combined.filter(F.col("_t") == CC_T)
+                    .select(*cc_cols).repartition(parts_n, "p"), ["p"],
                     info={"cc_layout": cc_stage.CC_LAYOUT})
-            cat.append("cc", singles, partition_by=["p"])
-            _update_clusters_partitioned(cat, cfg, affected, relabeled,
-                                         touched)
+
+            def _write_cc_singles():
+                cat.append("cc", combined.filter(F.col("_t") == SGL_T)
+                           .select(*cc_cols).repartition(parts_n, "p"),
+                           partition_by=["p"])
+
+            def _write_clusters():
+                cat.clear_partitions(
+                    "clusters", "p",
+                    sorted(touched - {p for t, p in present
+                                      if t == CL_T}))
+                cat.overwrite_partitions(
+                    "clusters", combined.filter(F.col("_t") == CL_T)
+                    .select(*cl_cols).repartition(parts_n, "p"), ["p"],
+                    info={"cc_layout": cc_stage.CC_LAYOUT})
+
+            # The cc writes and the clusters write touch DISJOINT
+            # directories and both read the same materialized checkpoint
+            # — overlap them (guide §2.6: actions are only sequential
+            # because driver code calls them sequentially); the
+            # catalog's manifest and metrics mutations are serialized by
+            # its internal lock. WITHIN the cc stage the order matters:
+            # the dynamic overwrite deletes every file of a partition
+            # dir it rewrites, so the singles append (whose rows can
+            # hash into a touched partition) must commit strictly AFTER
+            # it — overwrite-then-append stays one sequential task.
+            def _write_cc():
+                if touched:
+                    _write_cc_overwrite()
+                _write_cc_singles()
+
+            tasks = [_write_cc]
+            if cl_incremental:
+                tasks.append(_write_clusters)
+            if len(tasks) == 1:
+                tasks[0]()
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                    for f in [pool.submit(t) for t in tasks]:
+                        f.result()   # propagate the first failure
+            if not cl_incremental and (
+                    not cat.is_complete("clusters")
+                    or cat.stage_info("clusters").get("cc_layout")
+                    != cc_stage.CC_LAYOUT):
+                # pre-layout clusters checkpoint: full rewrite from the
+                # (post-write) cc table, as before
+                cat.write("clusters", cc_stage.with_clusters_partition(
+                    cc_stage.clusters(
+                        cat.load("cc").select("image_id", "cc_id")),
+                    cfg), partition_by=["p"],
+                    info={"cc_layout": cc_stage.CC_LAYOUT})
         else:
             # pre-partitioned-layout checkpoint: full rewrite fallback
             unaffected = old_cc.join(affected, "cc_id", "left_anti")

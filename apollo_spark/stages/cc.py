@@ -278,7 +278,19 @@ def _labels_driver_side(spark, rows, id_col: str = "image_id",
         if cur is None or n < cur:
             comp_min[root] = n
     out = [(n, comp_min[find(n)]) for n in nodes]
-    return spark.createDataFrame(out, out_schema)
+    import pandas as pd
+    cols = [f.split()[0] for f in out_schema.split(",")]
+    # pandas + Arrow upload: createDataFrame(list-of-tuples) goes through
+    # the pickled-RDD path and cost ~1 s per round-trip at bench scale
+    # (measured round 7); the Arrow path is ~free at these sizes
+    df = spark.createDataFrame(
+        pd.DataFrame(out, columns=cols), out_schema) if out else \
+        spark.createDataFrame(out, out_schema)
+    # the driver-side rows ride along so callers that themselves run on
+    # the driver (incremental cc_write's touched-partition bookkeeping)
+    # need no Spark job to read them back
+    df._apollo_local_rows = out
+    return df
 
 
 def components_from_edges(edges: DataFrame, max_iter: int,

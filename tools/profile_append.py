@@ -74,6 +74,9 @@ def main() -> int:
     print(json.dumps({
         "rows": args.rows, "delta_rows": n_delta, "cores": args.cores,
         "append_sec": append_sec,
+        "append_stages": res.get("_append_timings"),
+        "trailing_pipeline": round(
+            sum(res.get("_timings", {}).values()), 3),
         "catalog_batch": manifest.get("catalog_batch"),
     }))
     return 0
