@@ -39,11 +39,16 @@ def filter_formats(images: DataFrame,
     return images.filter(F.col("fmt").isin(list(formats)))
 
 
-def extract_features(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def extract_features(images: DataFrame, cfg: PipelineConfig,
+                     widen: bool = True) -> DataFrame:
     """(image_id, phash, caption) -> exploded (image_id, feat_hash, tf, ns).
 
     Only the three needed columns are read (column pruning reaches the
-    parquet scan; the multi-MB ``bytes`` column is never touched).
+    parquet scan; the multi-MB ``bytes`` column is never touched), and the
+    projection gets the scan-parallelism floor (util.widen_scan) before
+    the kernel — a single-row-group corpus file otherwise serializes the
+    whole extraction on one core (``widen=False`` for single-row query
+    inputs, where the exchange buys nothing).
 
     Round-7 vectorization (guide §4.2 — batch work to NumPy instead of a
     per-row/per-token Python loop, measured ~3x on the 20k bench corpus):
@@ -132,8 +137,11 @@ def extract_features(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
             yield pd.DataFrame({"image_id": ids_out, "feat_hash": feat,
                                 "tf": tf_a, "ns": ns_a})
 
-    return (images.select("image_id", "phash", "caption")
-            .mapInPandas(gen, schema=FEATURES_SCHEMA))
+    proj = images.select("image_id", "phash", "caption")
+    if widen:
+        from apollo_spark.util import widen_scan
+        proj = widen_scan(proj)
+    return proj.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 def docfreq(features: DataFrame) -> DataFrame:

@@ -91,7 +91,10 @@ def substring_fingerprints(images: DataFrame,
     shuffle. The first cut used a window function partitioned by image_id;
     that paid a full shuffle + per-partition sort for what is row-local
     arithmetic (measured 65 s -> array form ~15 s at 480k rows,
-    local[1]).
+    local[1]). Round-7: the (image_id, caption) projection gets the
+    scan-parallelism floor (util.widen_scan, a no-op on multi-split
+    scans) — the per-gram md5 is the expensive part of this pass and a
+    one-row-group corpus file serialized it on one core.
 
     Split out from the bucket census (membership_from_fp) on purpose: this
     is the EXPENSIVE per-row extraction, so incremental appends checkpoint
@@ -108,7 +111,9 @@ def substring_fingerprints(images: DataFrame,
         f"CASE WHEN size(gh) = 0 THEN array() "
         f"ELSE array_distinct(transform(sequence(0, size(gh) - 1), "
         f"     i -> array_min(slice(gh, i + 1, {W})))) END")
-    return (images.selectExpr("image_id", f"{gh_arr} AS gh")
+    from apollo_spark.util import widen_scan
+    proj = widen_scan(images.select("image_id", "caption"))
+    return (proj.selectExpr("image_id", f"{gh_arr} AS gh")
             .selectExpr("image_id", f"explode({winnow}) AS gh"))
 
 

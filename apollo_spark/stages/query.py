@@ -74,7 +74,7 @@ def query_image(image: DataFrame, df_table: DataFrame, ndocs: int,
     from apollo_spark.stages import bags as bags_stage
     from apollo_spark.stages import hashst
 
-    qfeats = bags_stage.extract_features(image, cfg)
+    qfeats = bags_stage.extract_features(image, cfg, widen=False)
     qbags = bags_stage.tfidf_with_vocab(qfeats, df_table, ndocs, cfg) \
         .localCheckpoint()
     _, qbands = hashst.run(qbags, cfg)
