@@ -135,13 +135,42 @@ _FLAGSHIP_CFG = PipelineConfig(caption_shingle_k=4, phash_ngram_bits=16,
                                phash_ngram_stride=16)
 
 
+def _flagship_bands(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """images -> LSH bands via the shuffle-free mapside signature path —
+    the same fresh-build device pipeline.py uses (round-7: the entry's
+    WMH chains previously always took the groupBy/collect_list +
+    vocab-join shuffle path; the mapside kernel is bit-identical — pinned
+    by tests/test_stages.py::test_mapside_matches_shuffle_path — and
+    drops two exchanges plus the list-of-arrays Arrow conversion from
+    the kernel span). Extraction is localCheckpointed once (two
+    consumers: the vocab agg and the kernel; per-partition row order —
+    the doc-contiguity contract — survives a localCheckpoint). Falls
+    back to the shuffle path when the vocabulary exceeds
+    cfg.mapside_vocab_max, exactly as the pipeline does."""
+    import numpy as np
+
+    feats = bags_stage.extract_features(images, cfg).localCheckpoint()
+    ndocs = images.count()
+    vocab = bags_stage.vocab_table(feats, cfg).localCheckpoint()
+    if vocab.count() <= cfg.mapside_vocab_max:
+        vp = vocab.select("feat_hash", "df").toPandas()
+        vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        vdf = vp["df"].to_numpy().astype(np.float64)
+        vo = np.argsort(vh)
+        sigs = hashst.signatures_mapside(feats, vh[vo], vdf[vo],
+                                         ndocs, cfg)
+    else:
+        sigs = hashst.signatures(
+            bags_stage.weight_bags(feats, vocab, ndocs, cfg), cfg)
+    return hashst.bands(sigs, cfg)
+
+
 def _flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents-as-images -> bags -> WMH signatures -> LSH bands ->
     iterative-join CC -> clusters. The full apollo chain, no checkpoints."""
     images = _docs_as_images(_docs(spark, sf_dir))
     cfg = _FLAGSHIP_CFG
-    bags = bags_stage.run(images, cfg)
-    _, bands = hashst.run(bags, cfg)
+    bands = _flagship_bands(images, cfg)
     # CC consumes bands TWICE (star_edges' census agg + join) — without an
     # eager cut here the whole WMH mapInPandas chain executes twice (the
     # r2->r3 wmh_clusters regression: ~2.6s of double kernel at sf0.1).
@@ -168,12 +197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2))
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docsw(s, d))
-    q["minhash_bands"] = lambda s, d: dedup.lsh_bands(
-        dedup.minhash_signatures(_docsw(s, d)))
-    q["lsh_buckets"] = lambda s, d: dedup.lsh_buckets(dedup.lsh_bands(
-        dedup.minhash_signatures(_docsw(s, d))))
-    q["candidate_pairs"] = lambda s, d: dedup.candidate_pairs(dedup.lsh_bands(
-        dedup.minhash_signatures(_docsw(s, d))))
+    q["minhash_bands"] = lambda s, d: dedup.minhash_bands_direct(_docsw(s, d))
+    q["lsh_buckets"] = lambda s, d: dedup.lsh_buckets(
+        dedup.minhash_bands_direct(_docsw(s, d)))
+    q["candidate_pairs"] = lambda s, d: dedup.candidate_pairs(
+        dedup.minhash_bands_direct(_docsw(s, d)))
     q["minhash_dedup"] = lambda s, d: dedup.minhash_dedup(_docsw(s, d))
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docsw(s, d))
     # CC consumes verified pairs + linear-mode star edges from over-cap hot
@@ -264,8 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["validate_rows"] = _validate_query
     q["substring_candidates"] = _substring_query
     q["wmh_signature_census"] = lambda s, d: (
-        hashst.run(bags_stage.run(_docs_as_images(_docs(s, d)),
-                                  _FLAGSHIP_CFG), _FLAGSHIP_CFG)[1]
+        _flagship_bands(_docs_as_images(_docs(s, d)), _FLAGSHIP_CFG)
         .groupBy("hashtable").agg(F.count(F.lit(1)).alias("n_bands")))
     # ann_lsh_topk moved OUT of rows-only in r3: the NumPy bucketing now
     # shares lsh_buckets_sql's 6dp grid, so a plane-literal oracle
@@ -366,7 +393,7 @@ def _wjacc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docsw(spark, sf_dir)
     # localCheckpoint (eager) cuts the DAG: downstream consumers reference
     # each intermediate several times and must not recompute the chain.
-    bands = dedup.lsh_bands(dedup.minhash_signatures(docs)).localCheckpoint()
+    bands = dedup.minhash_bands_direct(docs).localCheckpoint()
     vp = dedup.jaccard(docs, dedup.candidate_pairs(bands).localCheckpoint()) \
         .filter(F.col("jaccard") >= 0.7)
     qids = (vp.select(F.col("a").alias("qid")).distinct()
@@ -416,8 +443,7 @@ def _refined_clusters_query(spark: SparkSession, sf_dir: str,
     from apollo_spark.stages import refine
     images = _docs_as_images(_docs(spark, sf_dir))
     cfg = _FLAGSHIP_CFG
-    bags = bags_stage.run(images, cfg)
-    _, bands = hashst.run(bags, cfg)
+    bands = _flagship_bands(images, cfg)
     # bands feeds CC twice AND the refine membership join — cut once
     bands = bands.localCheckpoint()
     cc = cc_stage.connected_components(bands, cfg, all_ids=images)

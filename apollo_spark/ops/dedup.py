@@ -55,6 +55,19 @@ def word_shingles(docs: DataFrame, w: int = DEFAULT_SHINGLE_W) -> DataFrame:
             .distinct())
 
 
+def _hashed_shingles(docs: DataFrame, k: int, w: int,
+                     shingles: DataFrame | None) -> DataFrame:
+    """(doc_id, perm, h): every (shingle, permutation) hash row — the
+    shared pre-aggregation input of minhash_signatures and
+    minhash_bands_direct."""
+    sh = shingles if shingles is not None else word_shingles(docs, w)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
+    return (sh.select("doc_id", "shingle", perms)
+            .select("doc_id", "perm",
+                    md5_long(F.concat_ws(":", F.col("perm").cast("string"),
+                                         F.col("shingle"))).alias("h")))
+
+
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K,
                        w: int = DEFAULT_SHINGLE_W,
                        shingles: DataFrame | None = None) -> DataFrame:
@@ -66,14 +79,38 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K,
     for the 128-sample weighted variant use stages/hashst.py. Pass a
     precomputed/persisted ``shingles`` table to share the extraction with a
     downstream verify pass (one scan instead of two)."""
-    sh = shingles if shingles is not None else word_shingles(docs, w)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
-    hashed = (sh.select("doc_id", "shingle", perms)
-              .select("doc_id", "perm",
-                      md5_long(F.concat_ws(":", F.col("perm").cast("string"),
-                                           F.col("shingle"))).alias("h")))
-    return (hashed.groupBy("doc_id", "perm")
+    return (_hashed_shingles(docs, k, w, shingles)
+            .groupBy("doc_id", "perm")
             .agg(F.min("h").alias("minhash")))
+
+
+def minhash_bands_direct(docs: DataFrame, k: int = DEFAULT_K,
+                         r: int = DEFAULT_R, w: int = DEFAULT_SHINGLE_W,
+                         shingles: DataFrame | None = None) -> DataFrame:
+    """LSH bands in ONE exchange from the hashed shingle rows — the fused
+    twin of ``lsh_bands(minhash_signatures(docs))`` (round-7, guide §2.4
+    'remove shuffles outright').
+
+    The two-step form pays two sequential shuffles: hashed rows
+    -> groupBy(doc_id, perm) min -> groupBy(doc_id, band_idx)
+    collect_list. But min is associative, and perm = band_idx * r + i for
+    i in 0..r-1, so band element i is just a CONDITIONAL min over the
+    hashed rows grouped by (doc_id, band_idx) directly: one partial-agg
+    shuffle replaces both (and moves k/r-fold fewer grouped rows than the
+    signature shuffle). band_key equality with the two-step form is exact
+    — same per-perm minima, concatenated in the same perm order — and
+    pinned by the hash-oracled minhash_bands/lsh_buckets/candidate_pairs
+    gate entries plus test_fused_bands_equal_two_step."""
+    mins = [F.min(F.when(F.col("perm") % r == i, F.col("h")))
+            .alias(f"_m{i}") for i in range(r)]
+    return (_hashed_shingles(docs, k, w, shingles)
+            .withColumn("band_idx", (F.col("perm") / r).cast("long"))
+            .groupBy("doc_id", "band_idx")
+            .agg(*mins)
+            .select("doc_id", "band_idx",
+                    F.concat_ws("_", *[F.col(f"_m{i}").cast("string")
+                                       for i in range(r)])
+                    .alias("band_key")))
 
 
 def lsh_bands(signatures: DataFrame, r: int = DEFAULT_R) -> DataFrame:
@@ -153,7 +190,7 @@ def dup_edges(docs: DataFrame, threshold: float = 0.7,
     buckets (linear mode) — the adaptive analogue of the reference's
     --edges quadratic/linear switch (__main__.py:170-175, graph.py:209-249),
     chosen per bucket instead of per run."""
-    bands = lsh_bands(minhash_signatures(docs, k, w), r).localCheckpoint()
+    bands = minhash_bands_direct(docs, k, r, w).localCheckpoint()
     verified = (jaccard(docs, candidate_pairs(bands), w)
                 .filter(F.col("jaccard") >= threshold)
                 .select("a", "b"))
@@ -205,7 +242,7 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.7,
     the reused shuffle for an InMemoryRelation that breaks whole-stage
     codegen and exchange reuse) — pass ``shingles`` only when a
     materialized (checkpointed) table already exists."""
-    cands = candidate_pairs(lsh_bands(minhash_signatures(docs, k, w), r))
+    cands = candidate_pairs(minhash_bands_direct(docs, k, r, w))
     return (jaccard(docs, cands, w)
             .filter(F.col("jaccard") >= threshold))
 

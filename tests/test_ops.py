@@ -192,6 +192,16 @@ class TestDedup:
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
                        20: 20, 21: 20}
 
+    def test_fused_bands_equal_two_step(self, docs):
+        """minhash_bands_direct (one conditional-min exchange) must equal
+        lsh_bands(minhash_signatures(...)) (two sequential aggs) row for
+        row — the fusion is a plan change only."""
+        two = {(r.doc_id, r.band_idx, r.band_key) for r in
+               dedup.lsh_bands(dedup.minhash_signatures(docs)).collect()}
+        one = {(r.doc_id, r.band_idx, r.band_key) for r in
+               dedup.minhash_bands_direct(docs).collect()}
+        assert one == two and len(one) > 0
+
     def test_cc_dispatch_parity(self, spark, monkeypatch):
         """Round-7 size-gated CC dispatch: the driver union-find path and
         the distributed label fixpoint must produce IDENTICAL labelings on
