@@ -47,6 +47,9 @@ def phash_blocks(images: DataFrame) -> DataFrame:
     pair join below and the O(|delta|) incremental extension
     (incremental.py): a delta's new blocks join against the corpus blocks
     instead of recomputing every pair."""
+    # NO scan widening here (round-7 interleaved A/B: 0.96 s narrow vs
+    # 1.67 s widened at the 20k corpus — the explode+agg is too light to
+    # amortize the extra exchange, unlike the extraction/winnow kernels)
     blocks = F.explode(F.expr(
         f"transform(sequence(0, {_BLOCKS - 1}), "
         f"i -> struct(i as blk, shiftright(phash, i * 16) & 65535 as val))"))
