@@ -321,8 +321,18 @@ def main() -> int:
                                    images.count(), cfg)
     p = plan_of(ms)
     sections.append((
-        "mapside signatures (fresh build: zero-shuffle, join-free)", p,
-        [("no exchange anywhere in the plan", "Exchange" not in p),
+        "mapside signatures (fresh build: no keyed shuffle, join-free)", p,
+        # round 7: the extraction projection may carry ONE round-robin
+        # repartition (util.widen_scan — the input-parallelism floor for
+        # single-row-group corpus files, a no-op on multi-split scans);
+        # the design claim is NO KEYED exchange: no groupBy/join shuffle
+        # anywhere in the signature chain
+        [("no hash-keyed exchange in the plan",
+          "hashpartitioning" not in p),
+         ("at most the one widen_scan round-robin exchange",
+          p.count("roundrobin") <= 1 and
+          len([ln for ln in p.split("\n")
+               if ln.strip().startswith("(") and " Exchange" in ln]) <= 1),
          ("no join operator (vocab prune + weighting in-kernel)",
           "Join" not in p),
          ("bytes column pruned from scan", "bytes" not in
