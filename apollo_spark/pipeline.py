@@ -71,37 +71,82 @@ def _run_stages(spark: SparkSession, images: DataFrame,
 
     images = bags_stage.filter_formats(images, cfg.formats)  # P5
     ndocs = images.count()
+
+    # The extension passes (simhash_pairs over phash, substring
+    # fingerprints + census over captions) depend only on ``images`` —
+    # not on the vocab/bags/signature chain — so they run CONCURRENTLY
+    # with it from a driver thread (guide §2.6 'overlap independent
+    # jobs': Spark schedules both jobs' tasks FIFO, the extension tasks
+    # back-fill slots the signature chain leaves idle during its
+    # driver round-trips and single-task phases; measured ~3 s off the
+    # fresh 20k-row e2e). The catalog's manifest/metrics mutations are
+    # lock-serialized; ``out``/``timings`` entries are per-stage keys.
+    need_membership = refine or not cat.is_complete("cc")
+    ext_future = ext_pool = None
+    if extensions:
+        from concurrent.futures import ThreadPoolExecutor
+        ext_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _ext_chain():
+            # simhash_pairs and substring_fp are APPENDABLE stages:
+            # incremental deltas extend them with delta-vs-corpus passes
+            # (incremental.py) instead of resetting. The census/membership
+            # is only needed by a cc REBUILD or by refinement — when the
+            # incremental-CC path already wrote cc (and no refine is
+            # requested) it is skipped entirely, not rebuilt into the void.
+            stage("simhash_pairs",
+                  lambda: candidates.simhash_pairs(images, cfg))
+            stage("substring_fp",
+                  lambda: candidates.substring_fingerprints(images, cfg))
+            if need_membership:
+                stage("substring_membership",
+                      lambda: candidates.membership_from_fp(
+                          out["substring_fp"], cfg))
+
+        ext_future = ext_pool.submit(_ext_chain)
+
     # extraction feeds both the vocab agg and the weight join — persist so
     # the UDF runs once (unpersisted after the bags checkpoint lands)
     from pyspark.storagelevel import StorageLevel
     feats = bags_stage.extract_features(images, cfg) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # the frozen vocabulary (docfreq model analogue) — incremental appends
-    # and interactive queries weight new docs against THIS table
-    stage("vocab", lambda: bags_stage.vocab_table(feats, cfg),
-          info={"ndocs": ndocs})
-    # mapside signatures are only sound when bags are being BUILT this run:
-    # the persisted extraction output keeps each doc's rows contiguous, a
-    # property a parquet read-back of the bags checkpoint cannot guarantee
-    # (row-group splits). Decided before the bags stage runs.
-    bags_fresh = not cat.is_complete("bags")
-    stage("bags", lambda: bags_stage.weight_bags(
-        feats, out["vocab"], ndocs, cfg))
-    if bags_fresh and out["vocab"].count() <= cfg.mapside_vocab_max:
-        # shuffle-free path: vocabulary pruning + weighting happen inside
-        # the kernel against a broadcast (hash, df) array pair (the guard
-        # above bounds its size), docs stay contiguous through the narrow
-        # extraction lineage, no join and no groupBy anywhere (see
-        # hashst.signatures_mapside for why a Catalyst join is order-unsafe)
-        import numpy as np
-        vp = out["vocab"].select("feat_hash", "df").toPandas()
-        vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
-        vdf = vp["df"].to_numpy().astype(np.float64)
-        vorder = np.argsort(vh)
-        stage("signatures", lambda: hashst.signatures_mapside(
-            feats, vh[vorder], vdf[vorder], ndocs, cfg))
-    else:
-        stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
+    try:
+        # the frozen vocabulary (docfreq model analogue) — incremental
+        # appends and interactive queries weight new docs against THIS
+        # table
+        stage("vocab", lambda: bags_stage.vocab_table(feats, cfg),
+              info={"ndocs": ndocs})
+        # mapside signatures are only sound when bags are being BUILT this
+        # run: the persisted extraction output keeps each doc's rows
+        # contiguous, a property a parquet read-back of the bags
+        # checkpoint cannot guarantee (row-group splits). Decided before
+        # the bags stage runs.
+        bags_fresh = not cat.is_complete("bags")
+        stage("bags", lambda: bags_stage.weight_bags(
+            feats, out["vocab"], ndocs, cfg))
+        if bags_fresh and out["vocab"].count() <= cfg.mapside_vocab_max:
+            # shuffle-free path: vocabulary pruning + weighting happen
+            # inside the kernel against a broadcast (hash, df) array pair
+            # (the guard above bounds its size), docs stay contiguous
+            # through the narrow extraction lineage, no join and no
+            # groupBy anywhere (see hashst.signatures_mapside for why a
+            # Catalyst join is order-unsafe)
+            import numpy as np
+            vp = out["vocab"].select("feat_hash", "df").toPandas()
+            vh = vp["feat_hash"].to_numpy().astype(np.int64).view(np.uint64)
+            vdf = vp["df"].to_numpy().astype(np.float64)
+            vorder = np.argsort(vh)
+            stage("signatures", lambda: hashst.signatures_mapside(
+                feats, vh[vorder], vdf[vorder], ndocs, cfg))
+        else:
+            stage("signatures", lambda: hashst.signatures(out["bags"], cfg))
+    finally:
+        # the extension thread must finish BEFORE feats unpersists only if
+        # it shared feats — it does not; but a raise above must still
+        # reap the thread so its stages don't race a caller's cleanup
+        if ext_future is not None:
+            ext_future.result()
+            ext_pool.shutdown()
     feats.unpersist()
     # partitioned by hashtable (O7 physical design): interactive band
     # probes prune to the b matching partitions instead of a full scan
@@ -109,24 +154,11 @@ def _run_stages(spark: SparkSession, images: DataFrame,
           partition_by=["hashtable"])
 
     cc_input = out["bands"]
-    if extensions:
-        # simhash_pairs and substring_fp are APPENDABLE stages: incremental
-        # deltas extend them with delta-vs-corpus passes (incremental.py)
-        # instead of resetting. The census/membership below is only needed
-        # by a cc REBUILD or by refinement — when the incremental-CC path
-        # already wrote cc (and no refine is requested) it is skipped
-        # entirely, not rebuilt into the void.
-        stage("simhash_pairs", lambda: candidates.simhash_pairs(images, cfg))
-        stage("substring_fp",
-              lambda: candidates.substring_fingerprints(images, cfg))
-        if refine or not cat.is_complete("cc"):
-            stage("substring_membership",
-                  lambda: candidates.membership_from_fp(
-                      out["substring_fp"], cfg))
-            cc_input = (cc_input
-                        .unionByName(candidates.pairs_as_membership(
-                            out["simhash_pairs"]))
-                        .unionByName(out["substring_membership"]))
+    if extensions and need_membership:
+        cc_input = (cc_input
+                    .unionByName(candidates.pairs_as_membership(
+                        out["simhash_pairs"]))
+                    .unionByName(out["substring_membership"]))
 
     cc_in = cc_input
     # cc checkpoints hash-partitioned on the component id (CC_LAYOUT):
@@ -139,17 +171,45 @@ def _run_stages(spark: SparkSession, images: DataFrame,
     # numPartitions pins the exchange: a bare repartition("p") joins AQE
     # partition coalescing, which would collapse this small table to 1-2
     # tasks and serialize the 64-dir write
-    stage("cc", lambda: cc_stage.with_cc_partition(
-        cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg)
-        .repartition(cfg.cc_table_partitions, "p"),
-        partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
-    # clusters shares the cc table's hash-partitioned layout (keyed on the
-    # component rep with the same hash/modulus), so incremental appends
-    # dynamic-overwrite only delta-touched partitions of BOTH tables
-    stage("clusters", lambda: cc_stage.with_clusters_partition(
-        cc_stage.clusters(out["cc"]), cfg)
-        .repartition(cfg.cc_table_partitions, "p"),
-        partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
+    if not cat.is_complete("cc") and not cat.is_complete("clusters"):
+        # fresh build of BOTH tables: materialize the labeling once and
+        # write the two tables from it CONCURRENTLY (they derive from the
+        # same checkpointed parent and target disjoint directories; the
+        # sequential form paid the clusters derivation after the cc write
+        # round-trip — guide §2.6 again)
+        t0 = time.time()
+        cc_built = (cc_stage.with_cc_partition(
+            cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg)
+            .repartition(cfg.cc_table_partitions, "p")
+            .localCheckpoint())
+        cl_built = (cc_stage.with_clusters_partition(
+            cc_stage.clusters(cc_built.select("image_id", "cc_id")), cfg)
+            .repartition(cfg.cc_table_partitions, "p"))
+        build_sec = time.time() - t0
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fcc = pool.submit(
+                stage, "cc", lambda: cc_built, ["p"],
+                {"cc_layout": cc_stage.CC_LAYOUT})
+            fcl = pool.submit(
+                stage, "clusters", lambda: cl_built, ["p"],
+                {"cc_layout": cc_stage.CC_LAYOUT})
+            fcc.result()
+            fcl.result()
+        timings["cc"] += build_sec   # attribute the shared labeling build
+    else:
+        stage("cc", lambda: cc_stage.with_cc_partition(
+            cc_stage.connected_components(cc_in, cfg, all_ids=images), cfg)
+            .repartition(cfg.cc_table_partitions, "p"),
+            partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
+        # clusters shares the cc table's hash-partitioned layout (keyed on
+        # the component rep with the same hash/modulus), so incremental
+        # appends dynamic-overwrite only delta-touched partitions of BOTH
+        # tables
+        stage("clusters", lambda: cc_stage.with_clusters_partition(
+            cc_stage.clusters(out["cc"]), cfg)
+            .repartition(cfg.cc_table_partitions, "p"),
+            partition_by=["p"], info={"cc_layout": cc_stage.CC_LAYOUT})
     if refine:
         from apollo_spark.stages import refine as refine_stage
         stage("clusters_refined", lambda: refine_stage.refine_components(
