@@ -368,8 +368,11 @@ def connected_components_pairs(pairs: DataFrame,
     edges = (pairs.select(F.col("a").cast("long").alias("image_id"),
                           F.col("b").cast("long").alias("rep"))
              .distinct()
-             .localCheckpoint())  # cut the (possibly LSH-deep) pair lineage
-                                  # ONCE — without this every round re-runs
-                                  # the whole candidate+verify chain
+             # LAZY cut of the (possibly LSH-deep) pair lineage — the
+             # dispatcher's probe-collect materializes it in ONE job, and
+             # every later consumer (fixpoint rounds on an over-cap
+             # graph) reads the persisted partitions instead of re-running
+             # the candidate+verify chain
+             .localCheckpoint(eager=False))
     return cc_stage.components_from_edges(
         edges, max_iter, out_schema="doc_id long, cc_id long")

@@ -357,11 +357,14 @@ def incremental_components_parts(old_cc: DataFrame, new_edges: DataFrame,
     star_old = (aff_nodes.filter(F.col("image_id") != F.col("cc_id"))
                 .select("image_id", F.col("cc_id").alias("rep")))
     # materialize the merged edge list ONCE — the fixpoint joins it every
-    # round, the size probe below must not re-run star_old's corpus scan
-    # per CollectLimit attempt wave, and incremental consumers must not
-    # re-derive it from the old cc table
+    # round and incremental consumers must not re-derive it from the old
+    # cc table. LAZY checkpoint (round 7): the size-probe collect below
+    # is the materializing action, so the eager-checkpoint job + collect
+    # job pair collapses into one; ``new_edges`` above stays EAGER
+    # because it appears twice in this very plan (endpoints + union) and
+    # a lazy form would compute its lineage twice inside the one job
     edges = (new_edges.unionByName(star_old).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     # Small-graph short-circuit (round-6, streaming-cadence headroom): the
     # merged edge set is O(|delta edges| + |affected components|) — NOT
     # O(corpus) — so a typical micro-batch append carries a few hundred
@@ -411,8 +414,12 @@ def connected_components(bands: DataFrame, cfg: PipelineConfig,
     or under CC_DRIVER_EDGES_MAX resolves in one bounded collect +
     driver union-find (bit-identical labels, pinned by
     tests/test_ops.py::test_cc_dispatch_parity); larger graphs run the
-    distributed fixpoint exactly as before."""
-    edges = star_edges(bands).localCheckpoint()
+    distributed fixpoint exactly as before. The checkpoint is LAZY: the
+    dispatcher's probe-collect is the materializing action (one job
+    builds + persists the edges instead of an eager-checkpoint + collect
+    pair), and partitions it leaves uncomputed on an over-cap graph are
+    computed and persisted by fixpoint round 1."""
+    edges = star_edges(bands).localCheckpoint(eager=False)
     cc = components_from_edges(edges, cfg.max_cc_iterations)
     if all_ids is not None:
         singletons = (all_ids.select("image_id")

@@ -402,8 +402,12 @@ def main() -> int:
          ("no cartesian product", "CartesianProduct" not in p),
          ("zero corpus-gram shuffle: only bench-distinct + doc-id-distinct "
           "exchanges", _plain_exchanges(p) == 2),
+         # ADVICE r6: >= 2 HashAggregate is trivially satisfied by the
+         # bench-gram distinct alone; require BOTH distincts' partial+
+         # final pairs so a regression to a non-combinable doc-id
+         # distinct actually fails
          ("doc-id distinct is partial+final (combinable)",
-          "partial_count" in p or p.count("HashAggregate") >= 2)]))
+          "partial_count" in p or p.count("HashAggregate") >= 4)]))
 
     lines = ["# Physical-plan audit", "",
              "Generated by tools/explain_audit.py — plan properties the",
